@@ -1,0 +1,78 @@
+"""Headline benchmark: SSP pretraining throughput (images/sec/chip).
+
+Measures the full production training step of the flagship dual-stream
+ViT-2SPN configuration (ssp_vit2spn_tiny.py:31-41: microbatch 128, grad
+accumulation 8, EMA 0.999) including on-device dual-view augmentation — i.e.
+samples/sec through the complete pipeline, where each sample costs
+2 augmented views, 4 ViT-Tiny forwards (2 online + 2 EMA targets) and the
+backward pass through both online networks.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md), so the
+RTX 6000 per-device figure is estimated analytically:
+  per-sample compute ~ (4 fwd + 2 bwd~2x fwd) x 1.08 GMACs x 2 FLOP/MAC
+                     ~ 17.3 GFLOPs
+  RTX 6000 (Turing) fp16 tensor peak ~ 32.6 TFLOPs at ~30% utilization for
+  this small-model workload => ~9.8 TFLOPS => ~565 img/s, input-bound lower
+  in practice with 4 CPU aug workers; we use 565 as a generous baseline.
+vs_baseline therefore = measured / 565. The BASELINE.json target is >=3x.
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+RTX6000_EST_IMG_PER_SEC = 565.0
+
+
+def main() -> None:
+    from vit2spn_tpu.core.config import SSPConfig
+    from vit2spn_tpu.data.datasets import synthetic_dataset
+    from vit2spn_tpu.train.ssp import SSPTrainer
+    from vit2spn_tpu.utils.logging import MetricLogger
+
+    cfg = SSPConfig(pretrained_init=False)  # full flagship config
+    n_chips = jax.device_count()
+    trainer = SSPTrainer(cfg, logger=MetricLogger(echo=False))
+    ds = synthetic_dataset(
+        image_size=28, split_sizes={"train": 4 * cfg.effective_batch}, seed=0
+    )
+
+    eff = cfg.effective_batch
+    rng = np.random.default_rng(0)
+
+    def one_step(i):
+        idx = rng.integers(0, len(ds), eff)
+        # float() forces a host fetch: on some platforms block_until_ready
+        # returns before execution finishes, so sync on the value itself
+        return float(trainer.train_step(ds.images[idx], jax.random.key(i)))
+
+    one_step(0)  # warmup: compile + first execution
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for i in range(1, n_steps + 1):
+        one_step(i)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = n_steps * eff / dt
+    img_per_sec_chip = img_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "ssp_images_per_sec_per_chip",
+                "value": round(img_per_sec_chip, 2),
+                "unit": "images/s/chip",
+                "vs_baseline": round(img_per_sec_chip / RTX6000_EST_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

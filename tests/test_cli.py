@@ -1,0 +1,82 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vit2spn_tpu.cli import build_parser, main
+from vit2spn_tpu.core.config import FineTuneConfig, SSPConfig
+from vit2spn_tpu.core.presets import PRESETS, get_preset
+
+
+def test_all_presets_resolve():
+    assert len(PRESETS) >= 25  # ~one per reference script
+    for name in PRESETS:
+        cfg = get_preset(name)
+        assert isinstance(cfg, (SSPConfig, FineTuneConfig))
+
+
+def test_preset_families_match_reference_matrix():
+    # SSP family (C1-C3)
+    assert get_preset("ssp").dual_stream and get_preset("ssp").pretrained_init
+    assert not get_preset("ssp-single").dual_stream
+    assert get_preset("ssp-single").ema_momentum == 0.99
+    assert not get_preset("ssp-scratch").pretrained_init
+    # UCSD scheduler variant (ucsdoct_ft_vit2spn.py:288)
+    ucsd = get_preset("ft-ucsdoct")
+    assert ucsd.plateau_factor == 0.5 and ucsd.plateau_patience == 2
+    assert ucsd.data.augment.normalize_mean == (0.5, 0.5, 0.5)
+    # dsn_ssn ucsd drops scheduler/early-stop
+    assert not get_preset("dsn-ssn/ft-ucsdoct-dual").use_scheduler
+    # multitrial shrinks the label budget (multitrial/octmnist:27)
+    mt = get_preset("multitrial/ft-octmnist")
+    assert mt.data.subset_fraction == pytest.approx(0.00512942)
+    assert mt.num_trials == 5
+    # sl_ssp: imagenet-init baseline loads no SSP ckpt
+    assert get_preset("sl-ssp/sl-octmnist").init == "imagenet"
+    assert get_preset("sl-ssp/ssp-octmnist").init == "ssp"
+    # ssp_ssl scratch family
+    assert get_preset("ssp-ssl/ft-octid-scratch").init == "scratch"
+
+
+def test_cli_presets_command(capsys):
+    assert main(["presets"]) == 0
+    out = capsys.readouterr().out
+    assert "ssp" in out and "ft-octmnist" in out
+
+
+def test_cli_override_parsing():
+    p = build_parser()
+    args = p.parse_args(["run", "ssp", "-o", "epochs=3", "-o", "data.name=synthetic"])
+    assert args.override == ["epochs=3", "data.name=synthetic"]
+
+
+def test_cli_data_stats(tmp_path, capsys):
+    rc = main(["data", "stats", "synthetic", "--out", str(tmp_path)])
+    assert rc == 0
+    path = tmp_path / "synthetic_dataset_summary.json"
+    assert path.exists()
+    summary = json.loads(path.read_text())
+    assert summary["num_classes"] == 4
+    assert sum(summary["class_distribution"].values()) == summary["num_samples"]
+
+
+def test_cli_merge_ucsd(tmp_path):
+    for split in ("train", "test"):
+        for cat in ("CNV", "DME", "DRUSEN", "NORMAL"):
+            d = tmp_path / split / cat
+            d.mkdir(parents=True)
+            (d / f"{split}_img.jpg").write_bytes(b"fake")
+    rc = main(["data", "merge-ucsd", str(tmp_path)])
+    assert rc == 0
+    for cat in ("CNV", "DME", "DRUSEN", "NORMAL"):
+        files = sorted(os.listdir(tmp_path / cat))
+        assert files == ["test_img.jpg", "train_img.jpg"]
+
+
+def test_cli_plot_radar(tmp_path):
+    pytest.importorskip("matplotlib")
+    out = str(tmp_path / "radar.pdf")
+    rc = main(["plot", "radar", "--kind", "pt-scratch", "--out", out])
+    assert rc == 0
+    assert os.path.getsize(out) > 0

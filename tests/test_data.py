@@ -1,0 +1,95 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vit2spn_tpu.data.datasets import (
+    Dataset,
+    load_dataset,
+    load_octmnist,
+    synthetic_dataset,
+)
+from vit2spn_tpu.data.stats import dataset_summary, write_summary
+
+
+def test_registry_known_names():
+    for name in ("octmnist", "octid", "ucsdoct", "synthetic"):
+        ds = load_dataset(name)
+        assert isinstance(ds, Dataset)
+        assert len(ds) > 0
+    with pytest.raises(KeyError):
+        load_dataset("nope")
+
+
+def test_octmnist_npz_roundtrip(tmp_path):
+    """medmnist-format npz is parsed with correct splits and shapes."""
+    rng = np.random.default_rng(0)
+    payload = {}
+    sizes = {"train": 20, "val": 8, "test": 6}
+    for split, n in sizes.items():
+        payload[f"{split}_images"] = rng.integers(0, 255, (n, 28, 28), dtype=np.uint8)
+        payload[f"{split}_labels"] = rng.integers(0, 4, (n, 1))
+    np.savez(tmp_path / "octmnist.npz", **payload)
+
+    ds = load_octmnist(root=str(tmp_path))
+    assert len(ds) == 34
+    assert ds.images.shape == (34, 28, 28, 1)
+    for split, n in sizes.items():
+        sub = ds.split(split)
+        assert len(sub) == n
+        np.testing.assert_array_equal(
+            sub.images[..., 0], payload[f"{split}_images"]
+        )
+        np.testing.assert_array_equal(
+            sub.labels, payload[f"{split}_labels"].reshape(-1)
+        )
+
+
+def test_octmnist_synthetic_fallback_sizes():
+    ds = load_octmnist(root="/nonexistent")
+    # reference split sizes (97,477 train — README.md:20)
+    assert len(ds.split("train")) == 97477
+    with pytest.raises(FileNotFoundError):
+        load_octmnist(root="/nonexistent", allow_synthetic=False)
+
+
+def test_folder_dataset(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    root = tmp_path / "octird"
+    rng = np.random.default_rng(0)
+    for cls in ("amd", "csr", "normal"):
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 255, (40, 60), dtype=np.uint8)
+            PIL.fromarray(arr).save(d / f"img{i}.png")
+    ds = load_dataset("octid", root=str(tmp_path), source_size=32)
+    assert len(ds) == 9
+    assert ds.images.shape == (9, 32, 32, 1)
+    assert ds.class_names == ["amd", "csr", "normal"]  # sorted ImageFolder order
+    assert set(ds.labels) == {0, 1, 2}
+
+
+def test_subset_preserves_metadata():
+    ds = synthetic_dataset(split_sizes={"train": 30})
+    sub = ds.subset(np.arange(5), "five")
+    assert len(sub) == 5
+    assert sub.num_classes == ds.num_classes
+    assert sub.class_names == ds.class_names
+
+
+def test_dataset_summary_contents():
+    ds = synthetic_dataset(num_classes=3, split_sizes={"train": 30, "val": 10})
+    s = dataset_summary(ds)
+    assert s["num_samples"] == 40
+    assert s["num_classes"] == 3
+    assert sum(s["class_distribution"].values()) == 40
+    assert s["splits"] == {"train": 30, "val": 10}
+    assert 0.0 <= s["pixel_mean"][0] <= 1.0
+
+
+def test_write_summary_json(tmp_path):
+    ds = synthetic_dataset(split_sizes={"train": 16})
+    path = write_summary(ds, str(tmp_path), make_figures=False)
+    assert json.loads(open(path).read())["dataset"] == "synthetic"

@@ -1,0 +1,76 @@
+"""Numerical parity with HF transformers ViTModel.
+
+Builds a RANDOM-INIT HF ViT-Tiny offline from ViTConfig (no download needed),
+converts its state dict with models.hf_convert, and checks our functional
+forward reproduces torch's outputs — including the critical feature semantics:
+`hidden_states[-1].mean(dim=1)` is the PRE-final-layernorm mean
+(ssp_vit2spn_tiny.py:116-117).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+from vit2spn_tpu.core.config import ViTConfig  # noqa: E402
+from vit2spn_tpu.models.hf_convert import convert_hf_state_dict  # noqa: E402
+from vit2spn_tpu.models.vit import vit_features, vit_forward  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=24,
+                    num_layers=2, num_heads=2, mlp_dim=48)
+    hf_cfg = transformers.ViTConfig(
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.mlp_dim,
+        patch_size=cfg.patch_size,
+        image_size=cfg.image_size,
+        output_hidden_states=True,
+    )
+    torch.manual_seed(0)
+    model = transformers.ViTModel(hf_cfg)
+    model.eval()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_state_dict(state, cfg)
+    return cfg, model, params
+
+
+def test_forward_parity(hf_pair):
+    cfg, model, params = hf_pair
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        out = model(torch.tensor(x.transpose(0, 3, 1, 2)))
+    ref_pre_ln = out.hidden_states[-1].numpy()
+    ref_last = out.last_hidden_state.numpy()
+
+    ours = vit_forward(params, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(
+        np.asarray(ours["pre_ln"]), ref_pre_ln, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["last_hidden_state"]), ref_last, atol=2e-5
+    )
+
+
+def test_feature_semantics_parity(hf_pair):
+    """The exact ViTBackbone.forward: hidden_states[-1].mean(dim=1)."""
+    cfg, model, params = hf_pair
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(3, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.tensor(x.transpose(0, 3, 1, 2)))
+    ref_feats = out.hidden_states[-1].mean(dim=1).numpy()
+    ours = vit_features(params, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(np.asarray(ours), ref_feats, atol=2e-5)
+    # and it must DIFFER from the post-layernorm pooling (catching the silent
+    # last_hidden_state vs hidden_states[-1] mixup SURVEY.md warns about)
+    ref_wrong = out.last_hidden_state.mean(dim=1).numpy()
+    assert np.abs(ref_feats - ref_wrong).max() > 1e-3

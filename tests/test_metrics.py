@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+from vit2spn_tpu.evals.kfold import stratified_holdout, stratified_kfold
+from vit2spn_tpu.evals.metrics import (
+    auc,
+    classification_summary,
+    confusion_matrix,
+    mean_auc,
+    per_class_roc,
+    roc_curve,
+    sensitivity_specificity,
+)
+
+
+@pytest.fixture(scope="module")
+def fake_preds():
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 4, 200)
+    logits = rng.normal(size=(200, 4)) + 2.0 * np.eye(4)[labels]
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    return labels, probs
+
+
+def test_roc_auc_matches_sklearn(fake_preds):
+    skm = pytest.importorskip("sklearn.metrics")
+    labels, probs = fake_preds
+    for i in range(4):
+        y = (labels == i).astype(int)
+        ours_fpr, ours_tpr, _ = roc_curve(y, probs[:, i])
+        ours = auc(ours_fpr, ours_tpr)
+        ref = skm.roc_auc_score(y, probs[:, i])
+        assert ours == pytest.approx(ref, abs=1e-9)
+
+
+def test_mean_auc_matches_sklearn_ovr(fake_preds):
+    skm = pytest.importorskip("sklearn.metrics")
+    labels, probs = fake_preds
+    ref = skm.roc_auc_score(labels, probs, multi_class="ovr", average="macro")
+    assert mean_auc(labels, probs) == pytest.approx(ref, abs=1e-9)
+
+
+def test_confusion_matrix_matches_sklearn(fake_preds):
+    skm = pytest.importorskip("sklearn.metrics")
+    labels, probs = fake_preds
+    preds = probs.argmax(1)
+    np.testing.assert_array_equal(
+        confusion_matrix(labels, preds, 4), skm.confusion_matrix(labels, preds)
+    )
+
+
+def test_classification_summary_matches_sklearn_report(fake_preds):
+    skm = pytest.importorskip("sklearn.metrics")
+    labels, probs = fake_preds
+    names = ["a", "b", "c", "d"]
+    s = classification_summary(labels, probs, names)
+    ref = skm.classification_report(
+        labels, probs.argmax(1), target_names=names, output_dict=True
+    )
+    for i, n in enumerate(names):
+        assert s["per_class"][n]["precision"] == pytest.approx(ref[n]["precision"])
+        assert s["per_class"][n]["recall"] == pytest.approx(ref[n]["recall"])
+        assert s["per_class"][n]["f1"] == pytest.approx(ref[n]["f1-score"])
+    assert s["accuracy"] == pytest.approx(ref["accuracy"])
+
+
+def test_sensitivity_specificity_perfect_and_random():
+    cm = np.diag([10, 20, 30])
+    sens, spec = sensitivity_specificity(cm)
+    assert sens == 1.0 and spec == 1.0
+
+
+def test_stratified_kfold_properties():
+    labels = np.repeat(np.arange(4), [50, 30, 15, 5])
+    folds = list(stratified_kfold(labels, 5, seed=0))
+    assert len(folds) == 5
+    all_val = np.concatenate([v for _, v in folds])
+    assert sorted(all_val) == list(range(100))  # partition
+    for train, val in folds:
+        assert len(np.intersect1d(train, val)) == 0
+        # stratification: class proportions within +-1 sample per fold
+        for cls, total in zip(range(4), [50, 30, 15, 5]):
+            got = (labels[val] == cls).sum()
+            assert abs(got - total / 5) <= 1
+
+
+def test_stratified_holdout_70_20_10():
+    labels = np.repeat(np.arange(5), 100)
+    tr, va, te = stratified_holdout(labels, (0.7, 0.2, 0.1), seed=42)
+    assert len(tr) + len(va) + len(te) == 500
+    assert len(te) == 50 and len(va) == 100
+    for part, frac in ((tr, 0.7), (va, 0.2), (te, 0.1)):
+        for cls in range(5):
+            assert abs((labels[part] == cls).sum() - 100 * frac) <= 1

@@ -1,0 +1,101 @@
+"""Data-parallel correctness on a forced 8-device CPU mesh (conftest.py).
+
+Replaces the reference's untested DDP scaffold (ssp_vit2spn_tiny.py:20-25)
+with an actual invariance check: the jitted train step over a sharded global
+batch must produce the same result as the single-device step.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit2spn_tpu.data.datasets import synthetic_dataset
+from vit2spn_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from vit2spn_tpu.train.ssp import SSPTrainer
+from vit2spn_tpu.utils.logging import MetricLogger
+
+
+QUIET = MetricLogger(echo=False)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (jax.device_count(), 1)
+    mesh2 = make_mesh(model_parallel=2)
+    assert mesh2.devices.shape == (jax.device_count() // 2, 2)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    x = np.zeros((16, 4), np.float32)
+    out = shard_batch(mesh, {"x": x})["x"]
+    assert out.sharding.spec == jax.sharding.PartitionSpec("data", None)
+
+
+def test_dp_step_matches_single_device(tiny_ssp):
+    """Same data, same seed: 8-way DP step == 1-device step (up to fp
+    reduction order)."""
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 32})
+    batch = ds.images[:16]
+    key = jax.random.key(0)
+
+    tr_multi = SSPTrainer(tiny_ssp, logger=QUIET)
+    loss_multi = float(tr_multi.train_step(batch, key))
+
+    single_mesh = make_mesh(devices=jax.devices()[:1])
+    tr_single = SSPTrainer(tiny_ssp, mesh=single_mesh, logger=QUIET)
+    loss_single = float(tr_single.train_step(batch, key))
+
+    assert loss_multi == pytest.approx(loss_single, abs=1e-5)
+    p_m = jax.device_get(tr_multi.state.params.online["net1"]["patch_embed"]["kernel"])
+    p_s = jax.device_get(tr_single.state.params.online["net1"]["patch_embed"]["kernel"])
+    np.testing.assert_allclose(p_m, p_s, atol=1e-5)
+
+
+def test_dp_finetune_bn_uses_global_stats(tiny_ft):
+    """BatchNorm batch stats must reduce over the GLOBAL batch (SyncBatchNorm
+    semantics): multi-device and single-device steps must agree."""
+    from vit2spn_tpu.train.finetune import FineTuneTrainer
+    from vit2spn_tpu.train.optim import balanced_class_weights
+
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 16}, seed=1)
+    w = balanced_class_weights(ds.labels, 4)
+
+    t_multi = FineTuneTrainer(tiny_ft, num_classes=4, logger=QUIET)
+    t_single = FineTuneTrainer(
+        tiny_ft, num_classes=4, mesh=make_mesh(devices=jax.devices()[:1]),
+        logger=QUIET,
+    )
+    key = jax.random.key(3)
+    lr = jnp.asarray(1.0)
+    imgs, labs = jnp.asarray(ds.images), jnp.asarray(ds.labels)
+    sm, lm = t_multi._train_step(t_multi.state, imgs, labs, jnp.asarray(w), key, lr)
+    ss, ls = t_single._train_step(t_single.state, imgs, labs, jnp.asarray(w), key, lr)
+    assert float(lm) == pytest.approx(float(ls), abs=1e-5)
+    np.testing.assert_allclose(
+        jax.device_get(sm.bn_state["mean"]), jax.device_get(ss.bn_state["mean"]),
+        atol=1e-5,
+    )
+
+
+def test_tensor_parallel_mesh_runs(tiny_ssp):
+    """2-way model axis: step still runs and matches pure-DP numerics
+    (GSPMD handles the resharding; ViT-Tiny TP is for demonstration)."""
+    cfg = dataclasses.replace(
+        tiny_ssp, mesh=dataclasses.replace(tiny_ssp.mesh, model_parallel=2)
+    )
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 16})
+    tr = SSPTrainer(cfg, logger=QUIET)
+    loss = float(tr.train_step(ds.images[:16], jax.random.key(0)))
+
+    tr_ref = SSPTrainer(tiny_ssp, logger=QUIET)
+    loss_ref = float(tr_ref.train_step(ds.images[:16], jax.random.key(0)))
+    assert loss == pytest.approx(loss_ref, abs=1e-5)

@@ -1,0 +1,146 @@
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit2spn_tpu.data.datasets import synthetic_dataset
+from vit2spn_tpu.models.vit import init_vit
+from vit2spn_tpu.train import checkpoint as ckpt
+from vit2spn_tpu.train.finetune import FineTuneTrainer, weighted_cross_entropy
+from vit2spn_tpu.train.optim import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    balanced_class_weights,
+)
+from vit2spn_tpu.train.ssp import SSPTrainer
+from vit2spn_tpu.utils.logging import MetricLogger
+
+
+QUIET = MetricLogger(echo=False)
+
+
+def test_ssp_loss_decreases(tiny_ssp):
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 64})
+    tr = SSPTrainer(tiny_ssp, logger=QUIET)
+    hist = tr.fit(ds, epochs=4)
+    assert hist[-1] < hist[0]  # cosine alignment improves (toward -1)
+
+
+def test_ssp_ema_moves_target(tiny_ssp):
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 32})
+    tr = SSPTrainer(tiny_ssp, logger=QUIET)
+    t_before = np.asarray(jax.tree.leaves(jax.device_get(tr.state.params.target))[3])
+    tr.fit(ds, epochs=1)
+    t_after = np.asarray(jax.tree.leaves(jax.device_get(tr.state.params.target))[3])
+    assert not np.array_equal(t_before, t_after)
+
+
+def test_ssp_checkpoint_resume(tiny_ssp, tmp_path):
+    cfg = dataclasses.replace(tiny_ssp, checkpoint_every_epochs=1)
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 32})
+    path = str(tmp_path / "ckpt.npz")
+    tr = SSPTrainer(cfg, logger=QUIET)
+    tr.fit(ds, epochs=2, checkpoint_path=path)
+    step_after_2 = int(jax.device_get(tr.state.step))
+
+    tr2 = SSPTrainer(cfg, logger=QUIET)
+    tr2.fit(ds, epochs=3, checkpoint_path=path)  # resumes at epoch 2
+    assert int(jax.device_get(tr2.state.step)) == step_after_2 + 2  # 1 extra epoch (2 steps/epoch... )
+
+
+def test_export_restore_roundtrip(tiny_ssp, tmp_path):
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 32})
+    tr = SSPTrainer(tiny_ssp, logger=QUIET)
+    tr.fit(ds, epochs=1)
+    path = tr.export_backbone(str(tmp_path / "backbone.npz"))
+    template = init_vit(jax.random.key(0), tiny_ssp.vit)
+    restored = ckpt.restore(path, template)
+    want = jax.device_get(tr.state.params.online["net1"])
+    got_leaves = jax.tree.leaves(restored)
+    want_leaves = jax.tree.leaves(want)
+    for a, b in zip(got_leaves, want_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_finetune_overfits_tiny_set(tiny_ft):
+    from vit2spn_tpu.core.config import AugmentConfig, DataConfig
+
+    # identity augs: this test checks the optimization machinery, not whether
+    # a 2-layer/32-dim ViT can see through the full strong-augment stack
+    cfg = dataclasses.replace(
+        tiny_ft, epochs=15, use_early_stop=False, use_scheduler=False,
+        learning_rate=3e-4,
+        data=DataConfig(name="synthetic",
+                        augment=AugmentConfig(out_size=32, enabled=False)),
+    )
+    tr_ds = synthetic_dataset(image_size=28, split_sizes={"train": 64}, seed=3)
+    w = balanced_class_weights(tr_ds.labels, 4)
+    tr = FineTuneTrainer(cfg, num_classes=4, logger=QUIET, eval_augment=False)
+    tr.fit(tr_ds, tr_ds, w)
+    loss, probs, labels = tr.evaluate(tr_ds, w)
+    acc = (probs.argmax(-1) == labels).mean()
+    assert acc > 0.5  # 4 classes, random = 0.25
+
+
+def test_weighted_ce_matches_torch_semantics():
+    torch = pytest.importorskip("torch")
+    logits = np.random.default_rng(0).normal(size=(16, 4)).astype(np.float32)
+    labels = np.random.default_rng(1).integers(0, 4, 16)
+    weights = np.array([0.5, 2.0, 1.0, 3.0], np.float32)
+    ours = float(
+        weighted_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(weights)
+        )
+    )
+    ref = torch.nn.CrossEntropyLoss(weight=torch.tensor(weights))(
+        torch.tensor(logits), torch.tensor(labels)
+    ).item()
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_reduce_lr_on_plateau_torch_semantics():
+    s = ReduceLROnPlateau(factor=0.1, patience=2)
+    # improving: no drop
+    assert s.step(1.0) == 1.0
+    assert s.step(0.9) == 1.0
+    # plateau: drops on the (patience+1)-th bad epoch
+    assert s.step(0.95) == 1.0  # bad 1
+    assert s.step(0.95) == 1.0  # bad 2
+    assert s.step(0.95) == pytest.approx(0.1)  # bad 3 -> drop
+    # counter resets after drop
+    assert s.step(0.95) == pytest.approx(0.1)
+
+
+def test_early_stopping_restores_best():
+    st = EarlyStopping(patience=2)
+    assert not st.step(1.0, "state_a")
+    assert not st.step(0.5, "state_b")  # best
+    assert not st.step(0.6, "x")
+    assert st.step(0.7, "y")  # second bad epoch -> stop
+    assert st.best_state == "state_b"
+    assert st.best == 0.5
+
+
+def test_balanced_class_weights_matches_sklearn():
+    sklearn = pytest.importorskip("sklearn.utils.class_weight")
+    labels = np.array([0, 0, 0, 1, 1, 2])
+    ours = balanced_class_weights(labels, 3)
+    ref = sklearn.compute_class_weight(
+        class_weight="balanced", classes=np.unique(labels), y=labels
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_checkpoint_strict_false_tolerates_missing(tmp_path):
+    tree = {"a": np.ones(3), "b": np.zeros(2)}
+    path = str(tmp_path / "c.npz")
+    ckpt.save(path, {"a": np.full(3, 5.0)}, {"note": 1})
+    with pytest.raises(KeyError):
+        ckpt.restore(path, tree, strict=True)
+    out = ckpt.restore(path, tree, strict=False)
+    np.testing.assert_array_equal(out["a"], np.full(3, 5.0))
+    np.testing.assert_array_equal(out["b"], np.zeros(2))
+    assert ckpt.metadata(path)["note"] == 1

@@ -1,0 +1,222 @@
+"""Command-line interface.
+
+One runnable command per reference script (SURVEY.md section 7):
+
+  vit2spn presets                         list all presets
+  vit2spn run ssp                         == python ssp_vit2spn_tiny.py
+  vit2spn run ssp-single                  == dsn_ssn/ssp_single.py
+  vit2spn run ssp-scratch                 == ssp_ssl/ssl_vit2spn_scratch.py
+  vit2spn run ft-octmnist                 == octmnist_ft_vit2spn.py
+  vit2spn run multitrial/ft-octmnist      == multitrial/octmnist_ft_vit2spn.py
+  vit2spn data stats octmnist             == preprocessing/octmnist_dataset.py
+  vit2spn data merge-ucsd ./datasets/ucsdoct  == preprocessing/merge_ucsdoct.py
+  vit2spn plot radar --kind pt-scratch    == plotting/pt_scratch_radar.py
+
+Config overrides use dotted keys: `vit2spn run ssp -o epochs=5 -o
+data.root=/data -o mesh.model_parallel=2`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+
+from vit2spn_tpu.core.config import FineTuneConfig, SSPConfig, replace
+from vit2spn_tpu.core.presets import PRESETS, get_preset
+
+
+def _parse_override(s: str):
+    key, _, raw = s.partition("=")
+    if not _:
+        raise ValueError(f"override must be key=value, got {s!r}")
+    try:
+        val = json.loads(raw)
+    except json.JSONDecodeError:
+        val = raw
+    return key, val
+
+
+def _apply_overrides(cfg, overrides):
+    for item in overrides or []:
+        key, val = _parse_override(item)
+        cfg = replace(cfg, **{key: val})
+    return cfg
+
+
+def _resolve_backbone(cfg: FineTuneConfig, logger):
+    """Fine-tune initialization source (SURVEY.md checkpoint dataflow):
+    ssp/ssp-single/scratch load the corresponding SSP export; imagenet loads
+    the HF checkpoint (sl_ssp/sl_* baseline); random trains from scratch."""
+    from vit2spn_tpu.models.vit import init_vit
+    from vit2spn_tpu.train import checkpoint as ckpt
+
+    init = cfg.init
+    if init == "random":
+        return None
+    if init == "imagenet":
+        try:
+            from vit2spn_tpu.models.hf_convert import load_pretrained_vit_tiny
+
+            return load_pretrained_vit_tiny(cfg.vit)
+        except Exception as e:  # noqa: BLE001
+            logger.log("warning", message=f"imagenet init unavailable ({e}); random init")
+            return None
+    name = {
+        "ssp": "octmnist_vit2spn_tiny_model",
+        "ssp-single": "octmnist_vitspn_tiny_model",
+        "scratch": "octmnist_vit2spn_tiny_scratch_model",
+    }.get(init, init)
+    path = cfg.init_path or os.path.join(
+        SSPConfig().checkpoint_dir, name + ".npz"
+    )
+    if not ckpt.exists(path):
+        logger.log(
+            "warning",
+            message=f"SSP export {path} not found; run `vit2spn run ssp` "
+            "first. Falling back to imagenet/random init.",
+        )
+        try:
+            from vit2spn_tpu.models.hf_convert import load_pretrained_vit_tiny
+
+            return load_pretrained_vit_tiny(cfg.vit)
+        except Exception:  # noqa: BLE001
+            return None
+    template = init_vit(jax.random.key(0), cfg.vit)
+    return ckpt.restore(path, template, strict=False)
+
+
+def cmd_run(args):
+    from vit2spn_tpu.utils.logging import MetricLogger
+
+    cfg = _apply_overrides(get_preset(args.preset), args.override)
+    out_dir = args.output_dir or getattr(cfg, "checkpoint_dir", "./output")
+    os.makedirs(out_dir, exist_ok=True)
+    logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"))
+
+    if isinstance(cfg, SSPConfig):
+        from vit2spn_tpu.data.datasets import load_dataset
+        from vit2spn_tpu.evals.plots import loss_curve
+        from vit2spn_tpu.train.ssp import SSPTrainer
+
+        ds = load_dataset(cfg.data.name, root=cfg.data.root)
+        train = ds.split("train") if "train" in ds.splits else ds
+        trainer = SSPTrainer(cfg, logger=logger)
+        history = trainer.fit(
+            train,
+            epochs=args.epochs,
+            checkpoint_path=os.path.join(out_dir, "checkpoint.npz"),
+        )
+        trainer.export_backbone(os.path.join(out_dir, cfg.export_name + ".npz"))
+        if not cfg.pretrained_init:  # scratch variant plots its loss curve
+            loss_curve(history, os.path.join(out_dir, "ssp_loss_curve.png"))
+        return 0
+
+    assert isinstance(cfg, FineTuneConfig)
+    from vit2spn_tpu.evals.plots import confusion_matrix_plot, roc_all_folds
+    from vit2spn_tpu.evals.protocol import run_cv_protocol, run_multitrial
+
+    backbone = _resolve_backbone(cfg, logger)
+    if cfg.num_trials > 1:
+        run_multitrial(cfg, backbone_params=backbone, logger=logger,
+                       epochs=args.epochs)
+    else:
+        res = run_cv_protocol(cfg, backbone_params=backbone, logger=logger,
+                              epochs=args.epochs)
+        roc_all_folds(
+            res.fold_rocs, res.fold_aucs,
+            os.path.join(out_dir, f"{cfg.data.name}_roc_curve_all_folds.png"),
+        )
+        confusion_matrix_plot(
+            res.test_summary["confusion_matrix"],
+            [str(i) for i in range(len(res.test_summary["per_class"]))],
+            os.path.join(out_dir, f"{cfg.data.name}_confusion_matrix.png"),
+        )
+    return 0
+
+
+def cmd_presets(_args):
+    for name in sorted(PRESETS):
+        cfg = PRESETS[name]
+        kind = "ssp" if isinstance(cfg, SSPConfig) else "finetune"
+        print(f"{name:32s} [{kind}] {cfg.data.name}")
+    return 0
+
+
+def cmd_data(args):
+    from vit2spn_tpu.utils.logging import MetricLogger
+
+    if args.data_cmd == "stats":
+        from vit2spn_tpu.data.datasets import load_dataset
+        from vit2spn_tpu.data.stats import write_summary
+
+        ds = load_dataset(args.dataset, root=args.root)
+        path = write_summary(ds, args.out)
+        print(f"summary written to {path}")
+        return 0
+    if args.data_cmd == "merge-ucsd":
+        from vit2spn_tpu.data.merge import merge_ucsd_folders
+
+        stats = merge_ucsd_folders(args.root)
+        print(json.dumps(stats, indent=2))
+        return 0
+    raise SystemExit(f"unknown data command {args.data_cmd}")
+
+
+def cmd_plot(args):
+    from vit2spn_tpu.evals.plots import (
+        PT_SCRATCH_RESULTS,
+        SSP_SP_RESULTS,
+        radar_chart,
+    )
+
+    results = {"pt-scratch": PT_SCRATCH_RESULTS, "ssp-sp": SSP_SP_RESULTS}[args.kind]
+    path = radar_chart(results, args.out)
+    print(f"radar chart written to {path}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vit2spn", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a preset experiment")
+    r.add_argument("preset", choices=sorted(PRESETS))
+    r.add_argument("--epochs", type=int, default=None,
+                   help="override epoch count (e.g. smoke runs)")
+    r.add_argument("--output-dir", default=None)
+    r.add_argument("-o", "--override", action="append",
+                   help="dotted config override key=value")
+    r.set_defaults(fn=cmd_run)
+
+    sub.add_parser("presets", help="list presets").set_defaults(fn=cmd_presets)
+
+    d = sub.add_parser("data", help="dataset tools")
+    dsub = d.add_subparsers(dest="data_cmd", required=True)
+    st = dsub.add_parser("stats")
+    st.add_argument("dataset")
+    st.add_argument("--root", default="./datasets")
+    st.add_argument("--out", default="./output")
+    mg = dsub.add_parser("merge-ucsd")
+    mg.add_argument("root")
+    d.set_defaults(fn=cmd_data)
+
+    pl = sub.add_parser("plot", help="reporting figures")
+    pl.add_argument("plot_cmd", choices=["radar"])
+    pl.add_argument("--kind", choices=["pt-scratch", "ssp-sp"], default="pt-scratch")
+    pl.add_argument("--out", default="./output/radar.pdf")
+    pl.set_defaults(fn=cmd_plot)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,238 @@
+"""Dataset registry + loaders.
+
+Reference data paths:
+  * OCTMNIST via `medmnist.dataset.OCTMNIST` (ssp_vit2spn_tiny.py:10,101-107)
+    — an npz with train/val/test images (28x28 uint8 grayscale) + labels.
+    We read the same `octmnist.npz` directly (no medmnist dependency).
+  * OCTID ("octird") via torchvision `ImageFolder('./datasets/octird')`
+    (octird_ft_vit2spn.py:46-48), 5 classes amd/csr/normal/dr/mh.
+  * UCSD-OCT via `ImageFolder('./datasets/ucsdoct')` after merge
+    (ucsdoct_ft_vit2spn.py:47; preprocessing/merge_ucsdoct.py), 4 classes
+    CNV/DME/DRUSEN/NORMAL.
+
+TPU-native difference: folder images are decoded ONCE on the host, converted
+to grayscale uint8 at a canonical source resolution, and cached as one
+contiguous array — all per-sample augmentation happens on device
+(vit2spn_tpu.data.augment). The reference instead re-decodes + re-augments
+with PIL in dataloader workers every epoch.
+
+`synthetic` provides a class-structured generator (per-class Gabor-like
+texture + noise) so every trainer/test/benchmark runs without the real data
+being present (this build environment has no network egress).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class Dataset:
+    name: str
+    images: np.ndarray  # uint8 (N, H, W, C), C in {1, 3}
+    labels: np.ndarray  # int64 (N,)
+    num_classes: int
+    class_names: List[str]
+    splits: Dict[str, np.ndarray] = field(default_factory=dict)  # name -> indices
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def subset(self, indices: np.ndarray, name: Optional[str] = None) -> "Dataset":
+        return Dataset(
+            name=name or self.name,
+            images=self.images[indices],
+            labels=self.labels[indices],
+            num_classes=self.num_classes,
+            class_names=self.class_names,
+        )
+
+    def split(self, split_name: str) -> "Dataset":
+        return self.subset(self.splits[split_name], f"{self.name}/{split_name}")
+
+
+_REGISTRY: Dict[str, Callable[..., Dataset]] = {}
+
+
+def register_dataset(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def load_dataset(name: str, root: str = "./datasets", **kw) -> Dataset:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown dataset {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](root=root, **kw)
+
+
+# --------------------------------------------------------------------------
+# OCTMNIST (medmnist npz format)
+# --------------------------------------------------------------------------
+
+OCTMNIST_CLASSES = ["choroidal neovascularization", "diabetic macular edema",
+                    "drusen", "normal"]
+
+
+@register_dataset("octmnist")
+def load_octmnist(root: str = "./datasets", allow_synthetic: bool = True, **_) -> Dataset:
+    """medmnist-format octmnist.npz: keys {train,val,test}_{images,labels};
+    images uint8 (N, 28, 28), labels (N, 1)."""
+    for candidate in (
+        os.path.join(root, "octmnist.npz"),
+        os.path.expanduser("~/.medmnist/octmnist.npz"),
+    ):
+        if os.path.exists(candidate):
+            raw = np.load(candidate)
+            parts, splits, offset = [], {}, 0
+            labels_all = []
+            for split in ("train", "val", "test"):
+                imgs = raw[f"{split}_images"]
+                labs = raw[f"{split}_labels"].reshape(-1).astype(np.int64)
+                parts.append(imgs[..., None] if imgs.ndim == 3 else imgs)
+                labels_all.append(labs)
+                splits[split] = np.arange(offset, offset + len(imgs))
+                offset += len(imgs)
+            return Dataset(
+                name="octmnist",
+                images=np.concatenate(parts, axis=0),
+                labels=np.concatenate(labels_all),
+                num_classes=4,
+                class_names=OCTMNIST_CLASSES,
+                splits=splits,
+            )
+    if not allow_synthetic:
+        raise FileNotFoundError(f"octmnist.npz not found under {root}")
+    return synthetic_dataset(
+        name="octmnist", num_classes=4, class_names=OCTMNIST_CLASSES,
+        image_size=28, channels=1,
+        split_sizes={"train": 97477, "val": 10832, "test": 1000},
+    )
+
+
+# --------------------------------------------------------------------------
+# Folder datasets (OCTID / UCSD-OCT)
+# --------------------------------------------------------------------------
+
+def _load_folder(root_dir: str, name: str, source_size: int,
+                 class_names: Optional[List[str]] = None) -> Dataset:
+    """torchvision-ImageFolder-equivalent: root/<class>/<image>. Classes in
+    sorted order (ImageFolder semantics). Decoded to grayscale uint8 at
+    `source_size` on host (device augs warp from there)."""
+    from PIL import Image
+
+    classes = class_names or sorted(
+        d for d in os.listdir(root_dir)
+        if os.path.isdir(os.path.join(root_dir, d))
+    )
+    images, labels = [], []
+    exts = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+    for ci, cls in enumerate(classes):
+        cdir = os.path.join(root_dir, cls)
+        for fname in sorted(os.listdir(cdir)):
+            if os.path.splitext(fname)[1].lower() not in exts:
+                continue
+            with Image.open(os.path.join(cdir, fname)) as im:
+                im = im.convert("L").resize(
+                    (source_size, source_size), Image.BILINEAR
+                )
+                images.append(np.asarray(im, dtype=np.uint8)[..., None])
+            labels.append(ci)
+    return Dataset(
+        name=name,
+        images=np.stack(images),
+        labels=np.asarray(labels, dtype=np.int64),
+        num_classes=len(classes),
+        class_names=classes,
+    )
+
+
+OCTID_CLASSES = ["amd", "csr", "dr", "mh", "normal"]
+UCSD_CLASSES = ["CNV", "DME", "DRUSEN", "NORMAL"]
+
+
+@register_dataset("octid")
+def load_octid(root: str = "./datasets", source_size: int = 256,
+               allow_synthetic: bool = True, **_) -> Dataset:
+    # reference spells the directory "octird" (octird_ft_vit2spn.py:46)
+    for sub in ("octird", "octid"):
+        d = os.path.join(root, sub)
+        if os.path.isdir(d):
+            return _load_folder(d, "octid", source_size)
+    if not allow_synthetic:
+        raise FileNotFoundError(f"octid folder not found under {root}")
+    return synthetic_dataset(
+        name="octid", num_classes=5, class_names=sorted(OCTID_CLASSES),
+        image_size=64, channels=1, split_sizes={"all": 572},
+    )
+
+
+@register_dataset("ucsdoct")
+def load_ucsdoct(root: str = "./datasets", source_size: int = 256,
+                 allow_synthetic: bool = True, **_) -> Dataset:
+    d = os.path.join(root, "ucsdoct")
+    if os.path.isdir(d):
+        return _load_folder(d, "ucsdoct", source_size, class_names=None)
+    if not allow_synthetic:
+        raise FileNotFoundError(f"ucsdoct folder not found under {root}")
+    return synthetic_dataset(
+        name="ucsdoct", num_classes=4, class_names=UCSD_CLASSES,
+        image_size=64, channels=1, split_sizes={"all": 8000},
+    )
+
+
+# --------------------------------------------------------------------------
+# Synthetic (class-structured, learnable)
+# --------------------------------------------------------------------------
+
+@register_dataset("synthetic")
+def synthetic_dataset(
+    root: str = "./datasets",
+    name: str = "synthetic",
+    num_classes: int = 4,
+    class_names: Optional[List[str]] = None,
+    image_size: int = 28,
+    channels: int = 1,
+    split_sizes: Optional[Dict[str, int]] = None,
+    seed: int = 0,
+    **_,
+) -> Dataset:
+    """Per-class sinusoidal texture + speckle noise. Class identity is coded
+    in the spatial FREQUENCY (rotation/flip-invariant) with random
+    orientation/phase per sample, so the strong geometric augmentations do
+    not destroy the label signal — fine-tuning can genuinely learn it."""
+    split_sizes = split_sizes or {"train": 2048, "val": 256, "test": 256}
+    rng = np.random.default_rng(seed)
+    total = sum(split_sizes.values())
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32) / image_size
+
+    labels = rng.integers(0, num_classes, size=total)
+    images = np.empty((total, image_size, image_size, channels), dtype=np.uint8)
+    for i, lab in enumerate(labels):
+        theta = rng.uniform(0, np.pi)
+        freq = 2.0 * (1.8 ** lab)  # geometric spacing survives +-20% scale aug
+        phase = rng.uniform(0, 2 * np.pi)
+        wave = np.sin(2 * np.pi * freq * (xx * np.cos(theta) + yy * np.sin(theta)) + phase)
+        speckle = rng.normal(0, 0.25, size=(image_size, image_size))
+        img = 0.5 + 0.35 * wave + 0.1 * speckle
+        img = np.clip(img, 0, 1)
+        images[i] = (img[..., None] * 255).astype(np.uint8).repeat(channels, axis=-1)
+
+    splits, offset = {}, 0
+    for sname, n in split_sizes.items():
+        splits[sname] = np.arange(offset, offset + n)
+        offset += n
+    return Dataset(
+        name=name,
+        images=images,
+        labels=labels.astype(np.int64),
+        num_classes=num_classes,
+        class_names=class_names or [f"class_{i}" for i in range(num_classes)],
+        splits=splits,
+    )

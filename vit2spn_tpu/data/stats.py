@@ -1,0 +1,94 @@
+"""Dataset analysis tools (C9, preprocessing/*_dataset.py).
+
+Reproduces the per-dataset summary pipeline (preprocessing/octmnist_dataset.py:
+27-201): image-size/aspect statistics, class distribution, per-channel
+mean/std, sample grid + distribution figures, and the
+`*_dataset_summary.json` artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from vit2spn_tpu.data.datasets import Dataset
+
+
+def dataset_summary(ds: Dataset) -> dict:
+    imgs = ds.images
+    x = imgs.astype(np.float64) / 255.0
+    counts = np.bincount(ds.labels, minlength=ds.num_classes)
+    per_channel_mean = x.mean(axis=(0, 1, 2))
+    per_channel_std = x.std(axis=(0, 1, 2))
+    h, w = imgs.shape[1], imgs.shape[2]
+    return {
+        "dataset": ds.name,
+        "num_samples": int(len(ds)),
+        "num_classes": int(ds.num_classes),
+        "class_names": list(ds.class_names),
+        "class_distribution": {
+            ds.class_names[i]: int(c) for i, c in enumerate(counts)
+        },
+        "image_size": {"height": int(h), "width": int(w),
+                       "aspect_ratio": float(w / h)},
+        "channels": int(imgs.shape[3]),
+        "pixel_mean": [float(m) for m in per_channel_mean],
+        "pixel_std": [float(s) for s in per_channel_std],
+        "splits": {k: int(len(v)) for k, v in ds.splits.items()},
+    }
+
+
+def write_summary(ds: Dataset, out_dir: str,
+                  make_figures: bool = True) -> str:
+    """Emit `<name>_dataset_summary.json` (+ sample-grid and class-
+    distribution figures, preprocessing/octmnist_dataset.py:117-185)."""
+    os.makedirs(out_dir, exist_ok=True)
+    summary = dataset_summary(ds)
+    path = os.path.join(out_dir, f"{ds.name}_dataset_summary.json")
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=2)
+
+    if make_figures:
+        try:
+            _figures(ds, out_dir)
+        except Exception as e:  # matplotlib optional
+            print(f"figures skipped: {e}")
+    return path
+
+
+def _figures(ds: Dataset, out_dir: str, samples_per_class: int = 5):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    k = ds.num_classes
+    fig, axes = plt.subplots(k, samples_per_class,
+                             figsize=(2 * samples_per_class, 2 * k))
+    axes = np.atleast_2d(axes)
+    for ci in range(k):
+        idx = np.flatnonzero(ds.labels == ci)[:samples_per_class]
+        for j in range(samples_per_class):
+            ax = axes[ci, j]
+            ax.axis("off")
+            if j < len(idx):
+                ax.imshow(ds.images[idx[j], ..., 0], cmap="gray")
+                if j == 0:
+                    ax.set_title(ds.class_names[ci], fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, f"{ds.name}_samples.png"), dpi=100)
+    plt.close(fig)
+
+    counts = np.bincount(ds.labels, minlength=k)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.bar(range(k), counts)
+    ax.set_xticks(range(k))
+    ax.set_xticklabels(ds.class_names, rotation=30, ha="right", fontsize=8)
+    ax.set_ylabel("samples")
+    ax.set_title(f"{ds.name} class distribution")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, f"{ds.name}_distribution.png"), dpi=100)
+    plt.close(fig)

@@ -1,0 +1,193 @@
+"""The fine-tune + cross-validation experiment protocol (C4-C8).
+
+One driver replaces the module-level flow of every `*_ft_*.py` reference
+script (octmnist_ft_vit2spn.py:171-227, octird_ft_vit2spn.py:209-264,
+ucsdoct_ft_vit2spn.py:255-304, multitrial/*):
+
+  1. subset selection — OCTMNIST: random fraction of the train split +
+     random test subset (:52-59); OCTID/UCSD: absolute-size subset of the
+     merged folder dataset + stratified 70/20/10 holdout whose 10% is the
+     final test set (octird_ft_vit2spn.py:72-74).
+  2. stratified k-fold CV over the subset; per fold: balanced class weights
+     from the train-fold labels, a FRESH model with the SSP backbone loaded,
+     fine-tune with plateau scheduler + early stop, per-class val ROC/mAUC.
+  3. best-fold model (by val mAUC — the reference's model-selection quirk,
+     octmnist_ft_vit2spn.py:200-202) evaluated on the held-out test set:
+     confusion matrix + classification report (+ multitrial sens/spec/
+     confidence).
+  4. fold-mAUC mean/std summary.
+
+Faithfulness note (kept as-is, it defines the numbers): for OCTID/UCSD the
+CV folds are drawn from the FULL subset, which overlaps the holdout test
+split (octird_ft_vit2spn.py:215 uses subset_dataset, not train_dataset).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from vit2spn_tpu.core.config import FineTuneConfig
+from vit2spn_tpu.data.datasets import Dataset, load_dataset
+from vit2spn_tpu.evals.kfold import stratified_holdout, stratified_kfold
+from vit2spn_tpu.evals.metrics import classification_summary, mean_auc, per_class_roc
+from vit2spn_tpu.train.finetune import FineTuneTrainer
+from vit2spn_tpu.train.optim import balanced_class_weights
+from vit2spn_tpu.utils.logging import MetricLogger
+
+
+@dataclass
+class CVResult:
+    fold_aucs: List[float]
+    best_fold: int
+    best_auc: float
+    test_summary: dict
+    fold_rocs: Dict[int, tuple] = field(default_factory=dict)
+
+    @property
+    def mean_auc(self) -> float:
+        return float(np.mean(self.fold_aucs))
+
+    @property
+    def std_auc(self) -> float:
+        return float(np.std(self.fold_aucs))
+
+
+def select_subsets(cfg: FineTuneConfig, ds: Dataset, seed: Optional[int] = None):
+    """Returns (cv_dataset, test_dataset) per the dataset's protocol."""
+    data = cfg.data
+    seed = cfg.seed if seed is None else seed
+    rng = np.random.default_rng(seed)
+    if data.subset_fraction is not None:
+        train = ds.split("train") if "train" in ds.splits else ds
+        test = ds.split("test") if "test" in ds.splits else ds
+        n_sub = int(len(train) * data.subset_fraction)
+        sub_idx = rng.choice(len(train), size=n_sub, replace=False)
+        cv_ds = train.subset(sub_idx, "cv")
+        n_test = min(data.test_subset_size or len(test), len(test))
+        test_idx = rng.choice(len(test), size=n_test, replace=False)
+        test_ds = test.subset(test_idx, "test")
+        return cv_ds, test_ds
+    # folder protocol: absolute subset + 70/20/10 holdout, CV over full subset
+    pool = ds.split("all") if "all" in ds.splits else ds
+    n_sub = min(data.subset_size or len(pool), len(pool))
+    sub_idx = rng.choice(len(pool), size=n_sub, replace=False)
+    subset = pool.subset(sub_idx, "subset")
+    _, _, test_idx = stratified_holdout(subset.labels, (0.7, 0.2, 0.1), seed=seed)
+    return subset, subset.subset(test_idx, "test")
+
+
+def run_cv_protocol(
+    cfg: FineTuneConfig,
+    dataset: Optional[Dataset] = None,
+    backbone_params: Optional[dict] = None,
+    logger: Optional[MetricLogger] = None,
+    epochs: Optional[int] = None,
+    trial_seed: Optional[int] = None,
+    mesh=None,
+    eval_augment: bool = True,
+) -> CVResult:
+    logger = logger or MetricLogger(echo=True)
+    ds = dataset if dataset is not None else load_dataset(
+        cfg.data.name, root=cfg.data.root
+    )
+    num_classes = ds.num_classes
+    cv_ds, test_ds = select_subsets(cfg, ds, seed=trial_seed)
+    logger.log("protocol", dataset=ds.name, cv_size=len(cv_ds), test_size=len(test_ds))
+
+    fold_aucs: List[float] = []
+    fold_rocs: Dict[int, tuple] = {}
+    best_auc, best_fold, best_trainer = 0.0, -1, None
+    seed = cfg.seed if trial_seed is None else trial_seed
+
+    for fold, (train_idx, val_idx) in enumerate(
+        stratified_kfold(cv_ds.labels, cfg.k_folds, seed=seed)
+    ):
+        train_fold = cv_ds.subset(train_idx)
+        val_fold = cv_ds.subset(val_idx)
+        weights = balanced_class_weights(train_fold.labels, num_classes)
+
+        trainer = FineTuneTrainer(
+            cfg,
+            num_classes=num_classes,
+            backbone_params=backbone_params,
+            logger=logger,
+            fold=fold,
+            mesh=mesh,
+            eval_augment=eval_augment,
+        )
+        trainer.fit(train_fold, val_fold, weights, epochs=epochs,
+                    tag=f"fold{fold}")
+
+        _, probs, labels = trainer.evaluate(val_fold, weights)
+        fold_rocs[fold] = per_class_roc(labels, probs)
+        fold_mauc = mean_auc(labels, probs)
+        fold_aucs.append(fold_mauc)
+        logger.log("fold_result", fold=fold, mauc=fold_mauc)
+
+        if fold_mauc > best_auc:
+            best_auc, best_fold, best_trainer = fold_mauc, fold, trainer
+
+    test_weights = balanced_class_weights(test_ds.labels, num_classes)
+    _, probs, labels = best_trainer.evaluate(test_ds, test_weights)
+    summary = classification_summary(labels, probs, ds.class_names)
+    logger.log(
+        "cv_summary",
+        mean_auc=float(np.mean(fold_aucs)),
+        std_auc=float(np.std(fold_aucs)),
+        best_auc=best_auc,
+        test_accuracy=summary["accuracy"],
+        test_mauc=summary["mean_auc"],
+    )
+    return CVResult(
+        fold_aucs=fold_aucs,
+        best_fold=best_fold,
+        best_auc=best_auc,
+        test_summary=summary,
+        fold_rocs=fold_rocs,
+    )
+
+
+def run_multitrial(
+    cfg: FineTuneConfig,
+    dataset: Optional[Dataset] = None,
+    backbone_params: Optional[dict] = None,
+    logger: Optional[MetricLogger] = None,
+    epochs: Optional[int] = None,
+    mesh=None,
+) -> dict:
+    """multitrial/*: repeat the whole CV protocol `cfg.num_trials` times and
+    aggregate mean±std of accuracy / sensitivity / specificity / confidence /
+    mAUC (multitrial/octmnist_ft_vit2spn.py:242-263)."""
+    logger = logger or MetricLogger(echo=True)
+    rows = []
+    for trial in range(cfg.num_trials):
+        res = run_cv_protocol(
+            cfg, dataset, backbone_params, logger, epochs,
+            trial_seed=cfg.seed + trial, mesh=mesh,
+        )
+        s = res.test_summary
+        rows.append(
+            dict(
+                accuracy=s["accuracy"],
+                sensitivity=s["sensitivity"],
+                specificity=s["specificity"],
+                confidence=s["mean_confidence"],
+                mauc=res.mean_auc,
+            )
+        )
+        logger.log("trial", trial=trial, **rows[-1])
+    agg = {
+        k: {
+            "mean": float(np.mean([r[k] for r in rows])),
+            "std": float(np.std([r[k] for r in rows])),
+        }
+        for k in rows[0]
+    }
+    logger.log("multitrial_summary", **{
+        f"{k}_{s}": v[s] for k, v in agg.items() for s in ("mean", "std")
+    })
+    return {"trials": rows, "aggregate": agg}

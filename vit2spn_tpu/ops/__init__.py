@@ -1,0 +1,3 @@
+from vit2spn_tpu.ops.attention import multi_head_attention
+
+__all__ = ["multi_head_attention"]

@@ -1,0 +1,94 @@
+"""Checkpoint save/resume.
+
+Reproduces the reference's checkpoint contract (SURVEY.md section 1):
+  * periodic training checkpoints {epoch, model, optimizer, loss} every 10
+    epochs with resume-on-startup (ssp_vit2spn_tiny.py:53-72,198,231-232);
+  * a final backbone-only export (stream-1 online network,
+    ssp_vit2spn_tiny.py:246) that every fine-tune script consumes
+    (octmnist_ft_vit2spn.py:190).
+
+Format: single .npz with path-flattened pytree leaves + a JSON metadata blob
+— self-describing, dependency-free, loadable with plain numpy. `restore`
+takes a template pytree (`like=`) and returns the same structure, which also
+gives the reference's `strict=False` semantics (ssp_vit2spn_tiny.py:66) via
+`strict=False`: missing leaves keep the template's value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> dict:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save(path: str, tree, metadata: Optional[dict] = None) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = _flatten(tree)
+    payload["__metadata__"] = np.frombuffer(
+        json.dumps(metadata or {}).encode(), dtype=np.uint8
+    )
+    # atomic write: tmp file + rename, so a preempted save never corrupts the
+    # resume path
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)))
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def metadata(path: str) -> dict:
+    with np.load(path) as raw:
+        if "__metadata__" in raw:
+            return json.loads(raw["__metadata__"].tobytes().decode())
+    return {}
+
+
+def restore(path: str, like, strict: bool = True):
+    """Load leaves into the structure of `like`. strict=False tolerates
+    missing/extra keys (torch load_state_dict(strict=False) analogue)."""
+    with np.load(path) as raw:
+        stored = {k: raw[k] for k in raw.files if k != "__metadata__"}
+
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    missing = []
+    used = set()
+    for path_elems, leaf in paths_leaves:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path_elems
+        )
+        if key in stored:
+            arr = stored[key]
+            leaves.append(np.asarray(arr).astype(np.asarray(leaf).dtype).reshape(np.shape(leaf)))
+            used.add(key)
+        else:
+            missing.append(key)
+            leaves.append(leaf)
+    extra = set(stored) - used
+    if strict and (missing or extra):
+        raise KeyError(f"checkpoint mismatch: missing={missing[:5]} extra={sorted(extra)[:5]}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def exists(path: str) -> bool:
+    return os.path.exists(path)

@@ -1,0 +1,75 @@
+"""Host-side training controllers + class weighting.
+
+torch semantics reproduced exactly:
+  * ReduceLROnPlateau(mode="min", factor, patience) — octmnist_ft_vit2spn.py:193
+    (UCSD variant patience=2 factor=0.5, ucsdoct_ft_vit2spn.py:288).
+    torch counts "bad" epochs AFTER patience is exceeded: lr drops on the
+    (patience+1)-th consecutive non-improving epoch; improvement is strict
+    (new < best). The scale is fed into the jitted step as a traced scalar so
+    no recompilation happens on lr changes.
+  * Early stopping on val loss with best-weight restore
+    (fine_tune_model, octmnist_ft_vit2spn.py:90-126).
+  * sklearn-style balanced class weights: n / (k * bincount)
+    (compute_class_weight("balanced"), octmnist_ft_vit2spn.py:185-187).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class ReduceLROnPlateau:
+    factor: float = 0.1
+    patience: int = 3
+    min_lr: float = 0.0
+    scale: float = 1.0
+    best: float = float("inf")
+    num_bad: int = 0
+
+    def step(self, metric: float) -> float:
+        """Record an epoch's val metric; returns the current lr scale."""
+        if metric < self.best:
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.scale
+
+
+@dataclass
+class EarlyStopping:
+    patience: int = 3
+    best: float = float("inf")
+    counter: int = 0
+    best_state: object = None
+    should_stop: bool = False
+
+    def step(self, metric: float, state) -> bool:
+        """Returns True when training should stop. Keeps the best state
+        (host copy) for restore — octmnist_ft_vit2spn.py:117-126."""
+        if metric < self.best:
+            self.best = metric
+            self.best_state = state
+            self.counter = 0
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.should_stop = True
+        return self.should_stop
+
+
+def balanced_class_weights(labels: np.ndarray, num_classes: int) -> np.ndarray:
+    """n_samples / (n_classes * bincount); classes absent from `labels` get
+    weight 0 (they cannot occur in the loss anyway)."""
+    labels = np.asarray(labels).reshape(-1)
+    counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
+    weights = np.zeros(num_classes)
+    present = counts > 0
+    weights[present] = len(labels) / (present.sum() * counts[present])
+    return weights.astype(np.float32)
