@@ -46,18 +46,23 @@ def main() -> None:
     eff = cfg.effective_batch
     rng = np.random.default_rng(0)
 
-    def one_step(i):
-        idx = rng.integers(0, len(ds), eff)
-        # float() forces a host fetch: on some platforms block_until_ready
-        # returns before execution finishes, so sync on the value itself
-        return float(trainer.train_step(ds.images[idx], jax.random.key(i)))
-
-    one_step(0)  # warmup: compile + first execution
+    trainer.attach_dataset(ds.images)  # data lives in HBM; steps ship indices
 
     n_steps = 10
+
+    def run(seed):
+        # production path: whole scan of steps in ONE dispatch
+        idx_mat = rng.integers(0, len(ds), (n_steps, eff))
+        keys = jax.random.split(jax.random.key(seed), n_steps)
+        losses = trainer.train_epoch(idx_mat, keys)
+        # float() forces a host fetch (block_until_ready returns early on
+        # tunneled runtimes and cannot be trusted for timing)
+        return float(losses.mean())
+
+    run(0)  # warmup: compile + first execution
+
     t0 = time.perf_counter()
-    for i in range(1, n_steps + 1):
-        one_step(i)
+    run(1)
     dt = time.perf_counter() - t0
 
     img_per_sec = n_steps * eff / dt

@@ -81,14 +81,16 @@ def test_pretrained_init_identical_scratch_independent(tiny_ssp):
     (ssl_vit2spn_scratch.py): online/target independently initialized."""
     backbone = init_vit(jax.random.key(5), tiny_ssp.vit)
     p = init_dual_stream(jax.random.key(0), tiny_ssp, backbone_params=backbone)
-    a = p.online["net1"]["patch_embed"]["kernel"]
-    b = p.target["net2"]["patch_embed"]["kernel"]
+    a = p.online["patch_embed"]["kernel"][0]  # stream-1 online
+    b = p.target["patch_embed"]["kernel"][1]  # stream-2 target
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     p2 = init_dual_stream(jax.random.key(0), tiny_ssp)  # scratch
-    a2 = np.asarray(p2.online["net1"]["patch_embed"]["kernel"])
-    b2 = np.asarray(p2.target["net1"]["patch_embed"]["kernel"])
+    a2 = np.asarray(p2.online["patch_embed"]["kernel"][0])
+    b2 = np.asarray(p2.target["patch_embed"]["kernel"][0])
     assert not np.array_equal(a2, b2)
+    # streams also independent of each other
+    assert not np.array_equal(a2, np.asarray(p2.online["patch_embed"]["kernel"][1]))
 
 
 def test_single_stream(tiny_ssp):
@@ -96,7 +98,7 @@ def test_single_stream(tiny_ssp):
 
     cfg = dataclasses.replace(tiny_ssp, dual_stream=False, ema_momentum=0.99)
     params = init_dual_stream(jax.random.key(0), cfg)
-    assert set(params.online) == {"net"}
+    assert params.online["patch_embed"]["kernel"].shape[0] == 1  # one stream
     v1 = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
     v2 = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
     pred, tgt = dual_stream_forward(params, v1, v2, cfg)

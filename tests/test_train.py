@@ -58,7 +58,9 @@ def test_export_restore_roundtrip(tiny_ssp, tmp_path):
     path = tr.export_backbone(str(tmp_path / "backbone.npz"))
     template = init_vit(jax.random.key(0), tiny_ssp.vit)
     restored = ckpt.restore(path, template)
-    want = jax.device_get(tr.state.params.online["net1"])
+    from vit2spn_tpu.models.ssp import backbone_slice
+
+    want = jax.device_get(backbone_slice(tr.state.params.online, 0))
     got_leaves = jax.tree.leaves(restored)
     want_leaves = jax.tree.leaves(want)
     for a, b in zip(got_leaves, want_leaves):

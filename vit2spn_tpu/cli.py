@@ -103,9 +103,13 @@ def cmd_run(args):
         from vit2spn_tpu.evals.plots import loss_curve
         from vit2spn_tpu.train.ssp import SSPTrainer
 
+        from vit2spn_tpu.utils.flops import dual_stream_report
+
         ds = load_dataset(cfg.data.name, root=cfg.data.root)
         train = ds.split("train") if "train" in ds.splits else ds
         trainer = SSPTrainer(cfg, logger=logger)
+        # startup introspection (ssp_vit2spn_tiny.py:184-194,235-239)
+        logger.log("model_info", **dual_stream_report(cfg, trainer.state.params))
         history = trainer.fit(
             train,
             epochs=args.epochs,

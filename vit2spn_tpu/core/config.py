@@ -35,6 +35,11 @@ class ViTConfig:
     # (ssp_vit2spn_tiny.py:116-117). The final layernorm still exists in the
     # parameterization for checkpoint parity.
     use_final_layernorm_features: bool = False
+    # Rematerialization of transformer blocks under grad:
+    #   "none" - save all activations (fastest at microbatch<=128 on v5e)
+    #   "dots" - save matmul outputs only, recompute elementwise/LN/softmax
+    #   "full" - recompute the whole block in backward (lowest memory)
+    remat: str = "none"
 
     @property
     def num_patches(self) -> int:

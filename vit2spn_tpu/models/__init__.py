@@ -7,6 +7,7 @@ from vit2spn_tpu.models.heads import (
 )
 from vit2spn_tpu.models.ssp import (
     DualStreamParams,
+    backbone_slice,
     init_dual_stream,
     init_single_stream,
     dual_stream_forward,
@@ -23,6 +24,7 @@ __all__ = [
     "classifier_head_apply",
     "mlp_head_apply",
     "DualStreamParams",
+    "backbone_slice",
     "init_dual_stream",
     "init_single_stream",
     "dual_stream_forward",

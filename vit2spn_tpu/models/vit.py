@@ -130,7 +130,7 @@ def vit_forward(
     cfg: ViTConfig,
     policy: DTypePolicy = FP32,
     attn_impl: Optional[str] = None,
-    remat: bool = False,
+    remat: Optional[str] = None,
 ) -> dict:
     """Full forward. x: (B, H, W, C) float, already normalized.
 
@@ -156,8 +156,13 @@ def vit_forward(
     seq = seq + params["pos_embed"].astype(policy.compute_dtype)
 
     block = functools.partial(_block, cfg, attn_impl)
-    if remat:
+    remat = remat if remat is not None else cfg.remat
+    if remat == "full":
         block = jax.checkpoint(block)
+    elif remat == "dots":
+        block = jax.checkpoint(
+            block, policy=jax.checkpoint_policies.dots_saveable
+        )
 
     def body(carry, layer_params):
         lp = jax.tree.map(lambda a: a.astype(policy.compute_dtype), layer_params)

@@ -45,11 +45,14 @@ from vit2spn_tpu.data.augment import dual_view_batch
 from vit2spn_tpu.data.datasets import Dataset
 from vit2spn_tpu.models.ssp import (
     DualStreamParams,
+    backbone_slice,
     dual_stream_forward,
     ema_update,
     init_dual_stream,
     negative_cosine_loss,
 )
+from jax.sharding import NamedSharding, PartitionSpec
+
 from vit2spn_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from vit2spn_tpu.train import checkpoint as ckpt
 from vit2spn_tpu.utils.logging import MetricLogger
@@ -90,7 +93,8 @@ class SSPTrainer:
 
         self._rep = replicated_sharding(self.mesh)
         self.state = jax.device_put(state, self._rep)
-        self._step_fn = self._build_step()
+        self._device_images = None
+        self._step_fn, self._step_idx_fn, self._run_steps_fn = self._build_step()
 
     def _try_pretrained_backbone(self, key):
         """HF `WinKawaks/vit-tiny-patch16-224` init (ssp_vit2spn_tiny.py:112)
@@ -107,6 +111,19 @@ class SSPTrainer:
                 "using random init",
             )
             return None
+
+    # ------------------------------------------------------------------
+    def attach_dataset(self, images: np.ndarray, max_bytes: int = 4 << 30):
+        """Stage the full uint8 dataset in device HBM (OCTMNIST train is only
+        76 MB). Steps then receive 4-byte indices instead of re-uploading the
+        batch every step — host->device transfer drops out of the hot loop
+        entirely (the tunnel transfer latency was ~20% of step time)."""
+        if images.nbytes > max_bytes:
+            return False
+        self._device_images = jax.device_put(
+            jnp.asarray(images), replicated_sharding(self.mesh)
+        )
+        return True
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -158,18 +175,81 @@ class SSPTrainer:
             )
 
         data_shard = batch_sharding(self.mesh, 4)
-        return jax.jit(
+        step_jit = jax.jit(
             step,
             in_shardings=(self._rep, data_shard, self._rep),
             out_shardings=(self._rep, self._rep),
             donate_argnums=(0,),
         )
 
+        def step_by_index(state, images, idx, step_key):
+            batch = jnp.take(images, idx, axis=0)
+            return step(state, batch, step_key)
+
+        idx_shard = batch_sharding(self.mesh, 1)
+        step_idx_jit = jax.jit(
+            step_by_index,
+            in_shardings=(self._rep, self._rep, idx_shard, self._rep),
+            out_shardings=(self._rep, self._rep),
+            donate_argnums=(0,),
+        )
+
+        # Whole-epoch driver: scan over optimizer steps so ONE dispatch (and
+        # one ~40 ms host<->device round-trip on the tunneled runtime) covers
+        # the entire epoch instead of every step.
+        def run_steps(state, images, idx_mat, keys):
+            def body(st, inp):
+                idx, k = inp
+                batch = jnp.take(images, idx, axis=0)
+                return step(st, batch, k)
+
+            return jax.lax.scan(body, state, (idx_mat, keys))
+
+        idx2_shard = NamedSharding(
+            self.mesh, PartitionSpec(None, self.mesh.axis_names[0])
+        )
+        run_steps_jit = jax.jit(
+            run_steps,
+            in_shardings=(self._rep, self._rep, idx2_shard, self._rep),
+            out_shardings=(self._rep, self._rep),
+            donate_argnums=(0,),
+        )
+        return step_jit, step_idx_jit, run_steps_jit
+
     # ------------------------------------------------------------------
-    def train_step(self, batch_u8: np.ndarray, step_key) -> float:
+    def train_step(self, batch_u8: np.ndarray, step_key) -> jax.Array:
+        """Dispatches one optimizer step; returns the loss as a DEVICE array.
+        Callers must not fetch it per step (that serializes host and device;
+        fetch once per epoch — the async dispatch queue then hides all host
+        work behind device compute)."""
         batch = jax.device_put(jnp.asarray(batch_u8), batch_sharding(self.mesh, 4))
         self.state, loss = self._step_fn(self.state, batch, step_key)
         return loss
+
+    def train_step_indices(self, idx: np.ndarray, step_key) -> jax.Array:
+        """Step over device-resident data (see attach_dataset): only the
+        index vector crosses the host->device boundary."""
+        assert self._device_images is not None, "call attach_dataset first"
+        idx_dev = jax.device_put(
+            jnp.asarray(idx, jnp.int32), batch_sharding(self.mesh, 1)
+        )
+        self.state, loss = self._step_idx_fn(
+            self.state, self._device_images, idx_dev, step_key
+        )
+        return loss
+
+    def train_epoch(self, idx_mat: np.ndarray, keys: jax.Array) -> jax.Array:
+        """Run idx_mat.shape[0] optimizer steps in ONE jitted scan over the
+        device-resident dataset. Returns the per-step losses (device array)."""
+        assert self._device_images is not None, "call attach_dataset first"
+        idx_dev = jax.device_put(
+            jnp.asarray(idx_mat, jnp.int32),
+            NamedSharding(self.mesh, PartitionSpec(None, self.mesh.axis_names[0])),
+        )
+        self.state, losses = self._run_steps_fn(
+            self.state, self._device_images, idx_dev, keys
+        )
+        return losses
 
     def fit(
         self,
@@ -199,19 +279,28 @@ class SSPTrainer:
             )
 
         key = rngmod.root_key(cfg.seed)
+        on_device = self._device_images is not None or self.attach_dataset(
+            dataset.images
+        )
         history = []
         for epoch in range(start_epoch, epochs):
             perm = np.random.default_rng(cfg.seed + epoch).permutation(n)
             t0 = time.perf_counter()
-            epoch_loss = 0.0
-            for s in range(spe):
-                idx = perm[s * eff : (s + 1) * eff]
-                batch = dataset.images[idx]
-                step_key = rngmod.fold(key, epoch, s)
-                loss = self.train_step(batch, step_key)
-                epoch_loss += float(loss)
+            if on_device:
+                idx_mat = perm[: spe * eff].reshape(spe, eff)
+                keys = jax.vmap(
+                    lambda s: rngmod.fold(key, epoch, s)
+                )(jnp.arange(spe))
+                losses = self.train_epoch(idx_mat, keys)
+                avg = float(jnp.mean(losses))  # the epoch's only host sync
+            else:
+                losses = []
+                for s in range(spe):
+                    idx = perm[s * eff : (s + 1) * eff]
+                    step_key = rngmod.fold(key, epoch, s)
+                    losses.append(self.train_step(dataset.images[idx], step_key))
+                avg = float(jnp.mean(jnp.stack(losses)))
             dt = time.perf_counter() - t0
-            avg = epoch_loss / spe
             history.append(avg)
             self.logger.log(
                 "ssp_epoch",
@@ -235,8 +324,7 @@ class SSPTrainer:
         consumes."""
         cfg = self.cfg
         path = path or os.path.join(cfg.checkpoint_dir, cfg.export_name + ".npz")
-        online = jax.device_get(self.state.params.online)
-        backbone = online["net1"] if cfg.dual_stream else online["net"]
+        backbone = jax.device_get(backbone_slice(self.state.params.online, 0))
         ckpt.save(path, backbone, {"format": "vit_backbone", "source": cfg.export_name})
         self.logger.log("export", path=path)
         return path
