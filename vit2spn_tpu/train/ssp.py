@@ -72,8 +72,10 @@ class SSPTrainer:
         backbone_params: Optional[dict] = None,
         logger: Optional[MetricLogger] = None,
         attn_impl: Optional[str] = None,
+        dist_mode: str = "gspmd",  # "gspmd" | "shard_map"
     ):
         self.cfg = cfg
+        self.dist_mode = dist_mode
         self.policy = DTypePolicy.from_str(cfg.compute_dtype)
         self.mesh = mesh if mesh is not None else make_mesh(
             model_parallel=cfg.mesh.model_parallel
@@ -173,6 +175,57 @@ class SSPTrainer:
                 SSPTrainState(new_params, opt_state, state.step + 1),
                 loss_sum / a,
             )
+
+        if self.dist_mode == "shard_map":
+            # explicit-collective formulation (parallel/shard_map_dp.py):
+            # per-shard grads -> pmean over ICI -> replicated update
+            from vit2spn_tpu.parallel.shard_map_dp import shard_map_dp_step
+
+            def local_grads(state, batch_u8, step_key):
+                a = cfg.accumulation_steps
+                micro = batch_u8.reshape((a, -1) + batch_u8.shape[1:])
+                keys = jax.random.split(step_key, a)
+                trainable = (state.params.online, state.params.heads)
+                zero = jax.tree.map(jnp.zeros_like, trainable)
+
+                def body(carry, inp):
+                    g_acc, l_acc = carry
+                    mb, k = inp
+                    k_aug, k_drop = jax.random.split(k)
+                    v1, v2 = dual_view_batch(
+                        k_aug, mb, cfg.data.augment, out_dtype=policy.compute_dtype
+                    )
+                    loss, grads = grad_fn(
+                        trainable, state.params.target, v1, v2, k_drop
+                    )
+                    return (jax.tree.map(jnp.add, g_acc, grads), l_acc + loss), None
+
+                (grads, loss_sum), _ = jax.lax.scan(
+                    body, (zero, jnp.zeros(())), (micro, keys)
+                )
+                return (
+                    jax.tree.map(lambda g: g / a, grads),
+                    loss_sum / a,
+                )
+
+            reduced = shard_map_dp_step(
+                local_grads, self.mesh, self.cfg.mesh.data_axis
+            )
+
+            def step(state, batch_u8, step_key):  # noqa: F811
+                grads, loss = reduced(state, batch_u8, step_key)
+                trainable = (state.params.online, state.params.heads)
+                updates, opt_state = self.tx.update(grads, state.opt_state, trainable)
+                online, heads = optax.apply_updates(trainable, updates)
+                target = ema_update(state.params.target, online, cfg.ema_momentum)
+                return (
+                    SSPTrainState(
+                        DualStreamParams(online, heads, target),
+                        opt_state,
+                        state.step + 1,
+                    ),
+                    loss,
+                )
 
         data_shard = batch_sharding(self.mesh, 4)
         step_jit = jax.jit(
