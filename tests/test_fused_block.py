@@ -1,0 +1,74 @@
+"""Fused Pallas block kernel vs the XLA block (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit2spn_tpu.core.config import ViTConfig
+from vit2spn_tpu.models.vit import _block, init_vit
+from vit2spn_tpu.ops.fused_block import WEIGHT_NAMES, fused_block
+
+CFG = ViTConfig(image_size=32, patch_size=16, hidden_size=64, num_layers=1,
+                num_heads=2, mlp_dim=128)
+EPS = CFG.layernorm_eps
+
+
+def _layer_weights(key):
+    params = init_vit(key, CFG)
+    lp = jax.tree.map(lambda a: a[0], params["blocks"])
+    # nonzero LN biases / random scales to exercise those grads
+    k1, k2 = jax.random.split(key)
+    lp["ln1_scale"] = 1.0 + 0.1 * jax.random.normal(k1, lp["ln1_scale"].shape)
+    lp["ln2_bias"] = 0.1 * jax.random.normal(k2, lp["ln2_bias"].shape)
+    return lp
+
+
+def _as_tuple(lp):
+    return tuple(lp[name] for name in WEIGHT_NAMES)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lp = _layer_weights(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (4, CFG.seq_len, CFG.hidden_size))
+    return lp, x
+
+
+def test_forward_matches_xla_block(setup):
+    lp, x = setup
+    ref = _block(CFG, "xla", x, lp)
+    out = fused_block(x, _as_tuple(lp), CFG.num_heads, EPS, 2, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_forward_odd_batch_tile(setup):
+    lp, x = setup
+    ref = _block(CFG, "xla", x, lp)
+    # block_images=8 > B=4 -> falls back to bt=4; also try bt that divides
+    out = fused_block(x, _as_tuple(lp), CFG.num_heads, EPS, 8, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_grads_match_xla_block(setup):
+    lp, x = setup
+    wt = _as_tuple(lp)
+
+    def loss_ref(x, wt):
+        lpx = dict(zip(WEIGHT_NAMES, wt))
+        return jnp.sum(jnp.sin(_block(CFG, "xla", x, lpx)))
+
+    def loss_fused(x, wt):
+        return jnp.sum(jnp.sin(fused_block(x, wt, CFG.num_heads, EPS, 2, True)))
+
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wt)
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, wt)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=5e-4, rtol=1e-3)
+    for name, a, b in zip(WEIGHT_NAMES, gw_f, gw_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3,
+            err_msg=f"grad mismatch for {name}",
+        )

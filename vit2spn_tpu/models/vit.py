@@ -155,18 +155,35 @@ def vit_forward(
     seq = jnp.concatenate([cls, tokens], axis=1)
     seq = seq + params["pos_embed"].astype(policy.compute_dtype)
 
-    block = functools.partial(_block, cfg, attn_impl)
-    remat = remat if remat is not None else cfg.remat
-    if remat == "full":
-        block = jax.checkpoint(block)
-    elif remat == "dots":
-        block = jax.checkpoint(
-            block, policy=jax.checkpoint_policies.dots_saveable
-        )
+    if attn_impl == "fused":
+        # whole-block fused Pallas kernel (TPU only): LN params stay fp32,
+        # matmul weights in compute dtype (ops/fused_block.py)
+        from vit2spn_tpu.ops.fused_block import WEIGHT_NAMES, fused_block
 
-    def body(carry, layer_params):
-        lp = jax.tree.map(lambda a: a.astype(policy.compute_dtype), layer_params)
-        return block(carry, lp), None
+        def body(carry, layer_params):
+            wt = tuple(
+                layer_params[n].astype(
+                    jnp.float32 if n.startswith("ln") else policy.compute_dtype
+                )
+                for n in WEIGHT_NAMES
+            )
+            out = fused_block(carry, wt, cfg.num_heads, cfg.layernorm_eps)
+            return out, None
+    else:
+        block = functools.partial(_block, cfg, attn_impl)
+        remat = remat if remat is not None else cfg.remat
+        if remat == "full":
+            block = jax.checkpoint(block)
+        elif remat == "dots":
+            block = jax.checkpoint(
+                block, policy=jax.checkpoint_policies.dots_saveable
+            )
+
+        def body(carry, layer_params):
+            lp = jax.tree.map(
+                lambda a: a.astype(policy.compute_dtype), layer_params
+            )
+            return block(carry, lp), None
 
     pre_ln, _ = jax.lax.scan(body, seq, params["blocks"])
     last_hidden = _layernorm(

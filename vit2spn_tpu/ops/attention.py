@@ -43,6 +43,15 @@ def mha_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=1)
+def default_model_impl() -> Optional[str]:
+    """Default whole-model implementation flag for trainers: the fused
+    Pallas block kernel on TPU (measured 2.4x faster full train step than
+    the XLA path on v5e), plain XLA elsewhere (Mosaic kernels don't compile
+    for CPU tests; interpret mode is for correctness only)."""
+    return "fused" if jax.default_backend() == "tpu" else None
+
+
+@functools.lru_cache(maxsize=1)
 def _default_impl() -> str:
     # Measured on v5e at ViT-Tiny scale (B=128, S=197, 3 heads): the XLA
     # einsum path outruns the current per-(batch,head) Pallas kernel (12.4 vs

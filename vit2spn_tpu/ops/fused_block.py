@@ -1,0 +1,453 @@
+"""Fused ViT transformer block as single Pallas TPU kernels.
+
+One grid program processes a tile of BT images through the ENTIRE block —
+
+    y1 = LN1(x);  qkv = y1 @ Wqkv + b
+    att = softmax(q k^T / sqrt(dh)) v          (per image, per head)
+    x2  = x + att @ Wo + bo
+    y2 = LN2(x2); out = x2 + gelu(y2 @ W1 + b1) @ W2 + b2
+
+— with activations resident in VMEM throughout. The XLA formulation runs
+~10 separate fusions per block with HBM round-trips and 4 layout copies
+around the attention einsums; here nothing but x and out touches HBM.
+
+Backward is a second kernel that RECOMPUTES the forward in VMEM (flash-style)
+and emits dx plus per-tile partial weight gradients (summed over the grid
+outside the kernel) — so no per-layer activation stacking in HBM either
+(the saved-activation stacks were the OOM driver at microbatch 256).
+
+Numerics: bf16 matmul inputs, fp32 accumulation (preferred_element_type),
+fp32 LN/softmax statistics — matching the XLA path; parity is asserted in
+tests/test_fused_block.py (fwd and grads, interpret mode on CPU).
+
+Layout notes:
+  * sequence padded to SP (multiple of 16 for bf16 sublanes) by the wrapper;
+    padded key columns are masked to -inf in the softmax, padded query rows
+    compute garbage that never leaves the pad region (residuals keep them
+    zero because the input pad is zero and LN/matmul of zero rows stays
+    bounded); the wrapper slices them off.
+  * weights live whole in VMEM per program (~0.9 MB bf16 for ViT-Tiny).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+WEIGHT_NAMES = (
+    "ln1_scale", "ln1_bias", "wqkv", "bqkv", "wo", "bo",
+    "ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2",
+)
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7) — Mosaic has
+    no erf/erfc lowering; exp is the only transcendental needed."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+            + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ln_fwd(x2d, scale, bias, eps):
+    """fp32 layernorm; returns (y_bf16compat, xhat, rstd) for reuse in bwd."""
+    x32 = x2d.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mean) * rstd
+    y = xhat * scale + bias
+    return y, xhat, rstd
+
+
+def _attention(qkv, bt: int, sp: int, d: int, heads: int, seq_len: int,
+               dtype):
+    """qkv: (BT*SP, 3D) value -> attention output (BT*SP, D)."""
+    dh = d // heads
+    scale = 1.0 / (dh ** 0.5)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    mask = col < seq_len
+    outs = []
+    for i in range(bt):
+        rows = qkv[i * sp:(i + 1) * sp, :]
+        head_outs = []
+        for h in range(heads):
+            q = rows[:, h * dh:(h + 1) * dh]
+            k = rows[:, d + h * dh:d + (h + 1) * dh]
+            v = rows[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(mask, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            head_outs.append(
+                jnp.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
+            )
+        outs.append(jnp.concatenate(head_outs, axis=1))
+    return jnp.concatenate(outs, axis=0).astype(dtype)
+
+
+def _block_fwd_math(x2d, w, bt, sp, d, heads, seq_len, eps, dtype):
+    """Shared forward math on VMEM-resident values (used by fwd and bwd
+    kernels). Returns out plus residuals needed by the backward."""
+    y1, xhat1, rstd1 = _ln_fwd(x2d, w["ln1_scale"], w["ln1_bias"], eps)
+    y1 = y1.astype(dtype)
+    qkv = jnp.dot(y1, w["wqkv"], preferred_element_type=jnp.float32)
+    qkv = (qkv + w["bqkv"].astype(jnp.float32)).astype(dtype)
+    att = _attention(qkv, bt, sp, d, heads, seq_len, dtype)
+    o = jnp.dot(att, w["wo"], preferred_element_type=jnp.float32)
+    x2 = (x2d.astype(jnp.float32) + o + w["bo"].astype(jnp.float32))
+    y2, xhat2, rstd2 = _ln_fwd(x2, w["ln2_scale"], w["ln2_bias"], eps)
+    y2 = y2.astype(dtype)
+    m1 = jnp.dot(y2, w["w1"], preferred_element_type=jnp.float32)
+    m1 = m1 + w["b1"].astype(jnp.float32)
+    # exact gelu via lax.erf (jax.nn.gelu lowers through erfc, which
+    # Mosaic does not implement)
+    g = (0.5 * m1 * (1.0 + _erf(m1 * 0.7071067811865476))).astype(dtype)
+    m2 = jnp.dot(g, w["w2"], preferred_element_type=jnp.float32)
+    out = x2 + m2 + w["b2"].astype(jnp.float32)
+    return dict(
+        out=out, y1=y1, qkv=qkv, att=att, x2=x2, y2=y2,
+        m1=m1.astype(dtype), g=g,
+        xhat1=xhat1, rstd1=rstd1, xhat2=xhat2, rstd2=rstd2,
+    )
+
+
+def _fwd_kernel(x_ref, *w_refs, out_ref, x2_ref, bt, sp, d, heads,
+                seq_len, eps):
+    dtype = x_ref.dtype
+    x2d = x_ref[...].reshape(bt * sp, d)
+    w = {name: ref[...] for name, ref in zip(WEIGHT_NAMES, w_refs)}
+    res = _block_fwd_math(x2d, w, bt, sp, d, heads, seq_len, eps, dtype)
+    out_ref[...] = res["out"].astype(dtype).reshape(bt, sp, d)
+    # mid-residual saved for the split backward (MLP-bwd recomputes LN2/MLP
+    # from x2; attention-bwd recomputes LN1/QKV/attention from x)
+    x2_ref[...] = res["x2"].astype(dtype).reshape(bt, sp, d)
+
+
+def _ln_bwd(dy, xhat, rstd, scale):
+    """dy: fp32 (N, D) grad wrt LN output; returns (dx, dscale, dbias)."""
+    dscale = jnp.sum(dy * xhat, axis=0)
+    dbias = jnp.sum(dy, axis=0)
+    dxhat = dy * scale
+    n = xhat.shape[-1]
+    dx = rstd * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    return dx, dscale, dbias
+
+
+def _gelu_grad(m1):
+    """d/dx gelu_exact(x) = Phi(x) + x phi(x)."""
+    inv_sqrt2 = 0.7071067811865476
+    phi = jnp.exp(-0.5 * m1 * m1) * 0.3989422804014327
+    cdf = 0.5 * (1.0 + _erf(m1 * inv_sqrt2))
+    return cdf + m1 * phi
+
+
+def _attention_bwd(qkv, datt, bt, sp, d, heads, seq_len, dtype):
+    """Recompute-softmax attention backward; returns dqkv (BT*SP, 3D)."""
+    dh = d // heads
+    scale = 1.0 / (dh ** 0.5)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+    kmask = col < seq_len
+    qmask = row < seq_len
+    img_grads = []
+    for i in range(bt):
+        rows = qkv[i * sp:(i + 1) * sp, :]
+        dout_i = datt[i * sp:(i + 1) * sp, :]
+        parts_q, parts_k, parts_v = [], [], []
+        for h in range(heads):
+            q = rows[:, h * dh:(h + 1) * dh]
+            k = rows[:, d + h * dh:d + (h + 1) * dh]
+            v = rows[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            do = dout_i[:, h * dh:(h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(kmask, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # zero padded query rows so dK/dV get no pad contribution
+            p = jnp.where(qmask, p, 0.0)
+            pdt = p.astype(dtype)
+            dv = jax.lax.dot_general(  # P^T dO
+                pdt, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(  # dO V^T
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsdt = ds.astype(dtype)
+            dq = jnp.dot(dsdt, k, preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(  # dS^T Q
+                dsdt, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            parts_q.append(dq)
+            parts_k.append(dk)
+            parts_v.append(dv)
+        img_grads.append(
+            jnp.concatenate(
+                [jnp.concatenate(parts_q, axis=1),
+                 jnp.concatenate(parts_k, axis=1),
+                 jnp.concatenate(parts_v, axis=1)], axis=1
+            )
+        )
+    return jnp.concatenate(img_grads, axis=0).astype(dtype)
+
+
+def _mlp_bwd_kernel(x2_ref, dout_ref, *refs, bt, sp, d, eps):
+    """Recompute LN2/MLP from x2; emit dx2 and MLP/LN2 weight grads."""
+    names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
+    w_refs = refs[: len(names)]
+    dx2_ref = refs[len(names)]
+    dw_refs = refs[len(names) + 1:]
+    dtype = x2_ref.dtype
+    w = {n: r[...] for n, r in zip(names, w_refs)}
+    x2 = x2_ref[...].reshape(bt * sp, d).astype(jnp.float32)
+    dout = dout_ref[...].reshape(bt * sp, d).astype(jnp.float32)
+
+    y2f, xhat2, rstd2 = _ln_fwd(x2, w["ln2_scale"], w["ln2_bias"], eps)
+    y2 = y2f.astype(dtype)
+    m1 = jnp.dot(y2, w["w1"], preferred_element_type=jnp.float32)
+    m1 = m1 + w["b1"].astype(jnp.float32)
+    g = (0.5 * m1 * (1.0 + _erf(m1 * 0.7071067811865476))).astype(dtype)
+
+    doutdt = dout.astype(dtype)
+    dw2 = jax.lax.dot_general(  # g^T dout
+        g, doutdt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2 = jnp.sum(dout, axis=0)
+    dg = jax.lax.dot_general(  # dout @ W2^T
+        doutdt, w["w2"], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    dm1 = (dg.astype(jnp.float32) * _gelu_grad(m1)).astype(dtype)
+    dw1 = jax.lax.dot_general(  # y2^T dm1
+        y2, dm1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1 = jnp.sum(dm1.astype(jnp.float32), axis=0)
+    dy2 = jax.lax.dot_general(  # dm1 @ W1^T
+        dm1, w["w1"], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx2_ln, dln2_s, dln2_b = _ln_bwd(dy2, xhat2, rstd2, w["ln2_scale"])
+    dx2 = dout + dx2_ln  # residual: out = x2 + mlp(...)
+
+    dx2_ref[...] = dx2.astype(dtype).reshape(bt, sp, d)
+    partials = dict(ln2_scale=dln2_s, ln2_bias=dln2_b,
+                    w1=dw1, b1=db1, w2=dw2, b2=db2)
+    for n, r in zip(names, dw_refs):
+        r[...] = partials[n].astype(jnp.float32).reshape(r.shape)
+
+
+def _attn_bwd_kernel(x_ref, dx2_ref, *refs, bt, sp, d, heads, seq_len, eps):
+    """Recompute LN1/QKV/attention from x; emit dx and attention weight
+    grads (consumes dx2 from the MLP-bwd kernel)."""
+    names = ("ln1_scale", "ln1_bias", "wqkv", "bqkv", "wo", "bo")
+    w_refs = refs[: len(names)]
+    dx_ref = refs[len(names)]
+    dw_refs = refs[len(names) + 1:]
+    dtype = x_ref.dtype
+    w = {n: r[...] for n, r in zip(names, w_refs)}
+    x2d = x_ref[...].reshape(bt * sp, d)
+    dx2 = dx2_ref[...].reshape(bt * sp, d).astype(jnp.float32)
+
+    y1f, xhat1, rstd1 = _ln_fwd(x2d, w["ln1_scale"], w["ln1_bias"], eps)
+    y1 = y1f.astype(dtype)
+    qkv = jnp.dot(y1, w["wqkv"], preferred_element_type=jnp.float32)
+    qkv = (qkv + w["bqkv"].astype(jnp.float32)).astype(dtype)
+    att = _attention(qkv, bt, sp, d, heads, seq_len, dtype)
+
+    dx2dt = dx2.astype(dtype)
+    dwo = jax.lax.dot_general(  # att^T dx2
+        att, dx2dt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbo = jnp.sum(dx2, axis=0)
+    datt = jax.lax.dot_general(  # dx2 @ Wo^T
+        dx2dt, w["wo"], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    dqkv = _attention_bwd(qkv, datt, bt, sp, d, heads, seq_len, dtype)
+    dwqkv = jax.lax.dot_general(  # y1^T dqkv
+        y1, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0)
+    dy1 = jax.lax.dot_general(  # dqkv @ Wqkv^T
+        dqkv, w["wqkv"], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ln, dln1_s, dln1_b = _ln_bwd(dy1, xhat1, rstd1, w["ln1_scale"])
+    dx = dx2 + dx_ln  # residual: x2 = x + attn(...)
+
+    dx_ref[...] = dx.astype(dtype).reshape(bt, sp, d)
+    partials = dict(ln1_scale=dln1_s, ln1_bias=dln1_b, wqkv=dwqkv,
+                    bqkv=dbqkv, wo=dwo, bo=dbo)
+    for n, r in zip(names, dw_refs):
+        r[...] = partials[n].astype(jnp.float32).reshape(r.shape)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _zero_idx(i, nd):
+    return (0,) * nd
+
+
+def _tile_idx(i, nd):
+    return (i,) + (0,) * nd
+
+
+def _weight_specs():
+    return [pl.BlockSpec(memory_space=pltpu.ANY) for _ in WEIGHT_NAMES]
+
+
+def _pad_seq(x, sp):
+    b, s, d = x.shape
+    return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))) if sp != s else x
+
+
+def _prep_weights(weights):
+    """TPU pallas wants >=2-D operands: lift 1-D params to (1, n)."""
+    return tuple(w[None, :] if w.ndim == 1 else w for w in weights)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
+)
+def fused_block(x, weights: Tuple, heads: int, eps: float,
+                block_images: int = 8, interpret: bool = False):
+    """x: (B, S, D) bf16/f32; weights: tuple in WEIGHT_NAMES order
+    (matmul weights in x.dtype, LN params fp32). Returns (B, S, D)."""
+    out, _ = _fused_fwd_impl(x, weights, heads, eps, block_images, interpret)
+    return out
+
+
+def _tile_for(b, block_images):
+    bt = min(block_images, b)
+    while b % bt:
+        bt -= 1
+    return bt
+
+
+def _fused_fwd_impl(x, weights, heads, eps, block_images, interpret):
+    b, s, d = x.shape
+    sp = _round_up(s, 16)
+    bt = _tile_for(b, block_images)
+    xp = _pad_seq(x, sp)
+    weights = _prep_weights(weights)
+    kern = functools.partial(
+        _fwd_kernel, bt=bt, sp=sp, d=d, heads=heads, seq_len=s, eps=eps
+    )
+
+    def wrapped(x_ref, *refs):
+        kern(x_ref, *refs[:-2], out_ref=refs[-2], x2_ref=refs[-1])
+
+    tile_spec = pl.BlockSpec((bt, sp, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out, x2 = pl.pallas_call(
+        wrapped,
+        grid=(b // bt,),
+        in_specs=[
+            tile_spec,
+            *[pl.BlockSpec(w.shape, functools.partial(_zero_idx, nd=w.ndim),
+                           memory_space=pltpu.VMEM) for w in weights],
+        ],
+        out_specs=[tile_spec, tile_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, sp, d), x.dtype)] * 2,
+        interpret=interpret,
+    )(xp, *weights)
+    return out[:, :s, :], x2
+
+
+def _fused_fwd(x, weights, heads, eps, block_images, interpret):
+    out, x2 = _fused_fwd_impl(x, weights, heads, eps, block_images, interpret)
+    return out, (x, x2, weights)
+
+
+def _fused_bwd(heads, eps, block_images, interpret, res, g):
+    x, x2p, weights = res  # x2p is already seq-padded
+    b, s, d = x.shape
+    sp = _round_up(s, 16)
+    # backward kernels hold recompute buffers + weight-grad partials: half
+    # the forward tile keeps them inside the 16 MB VMEM budget
+    bt = _tile_for(b, max(block_images // 2, 1))
+    n_tiles = b // bt
+    xp = _pad_seq(x, sp)
+    gp = _pad_seq(g.astype(x.dtype), sp)
+    orig_weights = weights
+    weights = _prep_weights(weights)
+    wdict = dict(zip(WEIGHT_NAMES, weights))
+
+    tile_spec = pl.BlockSpec((bt, sp, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def run(kernel, names, inputs, extra_kw):
+        ws = [wdict[n] for n in names]
+        kern = functools.partial(kernel, bt=bt, sp=sp, d=d, eps=eps, **extra_kw)
+        dw_shapes = [
+            jax.ShapeDtypeStruct((n_tiles,) + w.shape, jnp.float32) for w in ws
+        ]
+        outs = pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=[
+                tile_spec, tile_spec,
+                *[pl.BlockSpec(w.shape, functools.partial(_zero_idx, nd=w.ndim),
+                               memory_space=pltpu.VMEM) for w in ws],
+            ],
+            out_specs=[
+                tile_spec,
+                *[pl.BlockSpec((1,) + w.shape,
+                               functools.partial(_tile_idx, nd=w.ndim),
+                               memory_space=pltpu.VMEM) for w in ws],
+            ],
+            out_shape=[jax.ShapeDtypeStruct((b, sp, d), x.dtype), *dw_shapes],
+            interpret=interpret,
+        )(*inputs, *ws)
+        dgrads = {n: outs[1 + i].sum(axis=0) for i, n in enumerate(names)}
+        return outs[0], dgrads
+
+    mlp_names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
+    dx2, mlp_grads = run(_mlp_bwd_kernel, mlp_names, (x2p, gp), {})
+
+    attn_names = ("ln1_scale", "ln1_bias", "wqkv", "bqkv", "wo", "bo")
+    dxp, attn_grads = run(
+        _attn_bwd_kernel, attn_names, (xp, dx2),
+        {"heads": heads, "seq_len": s},
+    )
+
+    all_grads = {**mlp_grads, **attn_grads}
+    dweights = tuple(
+        all_grads[n].astype(w.dtype).reshape(w.shape)
+        for n, w in zip(WEIGHT_NAMES, orig_weights)
+    )
+    return dxp[:, :s, :], dweights
+
+
+fused_block.defvjp(_fused_fwd, _fused_bwd)

@@ -202,6 +202,10 @@ class FineTuneTrainer:
             model_parallel=cfg.mesh.model_parallel
         )
         self.logger = logger or MetricLogger(echo=True)
+        if attn_impl is None:
+            from vit2spn_tpu.ops.attention import default_model_impl
+
+            attn_impl = default_model_impl()
 
         self.tx, self._train_epoch, self._eval_pass = _build_finetune_fns(
             cfg, num_classes, self.mesh, eval_augment, attn_impl

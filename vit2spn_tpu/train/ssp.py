@@ -81,6 +81,10 @@ class SSPTrainer:
             model_parallel=cfg.mesh.model_parallel
         )
         self.logger = logger or MetricLogger(echo=True)
+        if attn_impl is None:
+            from vit2spn_tpu.ops.attention import default_model_impl
+
+            attn_impl = default_model_impl()
         self.attn_impl = attn_impl
         # Adam over trainable params only (targets are frozen; torch's
         # optimizer sees them but never receives grads, ssp_vit2spn_tiny.py:173)
