@@ -146,3 +146,30 @@ def test_checkpoint_strict_false_tolerates_missing(tmp_path):
     np.testing.assert_array_equal(out["a"], np.full(3, 5.0))
     np.testing.assert_array_equal(out["b"], np.zeros(2))
     assert ckpt.metadata(path)["note"] == 1
+
+
+def test_epoch_scan_matches_stepwise(tiny_ssp):
+    """The whole-epoch lax.scan dispatch must produce exactly the same
+    states/losses as step-by-step dispatch."""
+    import jax.numpy as jnp
+
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 64})
+    idx_mat = np.arange(64).reshape(4, 16)
+
+    tr_a = SSPTrainer(tiny_ssp, logger=QUIET)
+    assert tr_a.attach_dataset(ds.images)
+    keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.key(9), s))(
+        jnp.arange(4)
+    )
+    losses_a = np.asarray(tr_a.train_epoch(idx_mat, keys))
+
+    tr_b = SSPTrainer(tiny_ssp, logger=QUIET)
+    assert tr_b.attach_dataset(ds.images)
+    losses_b = [
+        float(tr_b.train_step_indices(idx_mat[i], jax.random.fold_in(jax.random.key(9), i)))
+        for i in range(4)
+    ]
+    np.testing.assert_allclose(losses_a, losses_b, atol=1e-5)
+    pa = jax.device_get(tr_a.state.params.online["patch_embed"]["kernel"])
+    pb = jax.device_get(tr_b.state.params.online["patch_embed"]["kernel"])
+    np.testing.assert_allclose(pa, pb, atol=1e-5)

@@ -91,12 +91,30 @@ def _resolve_backbone(cfg: FineTuneConfig, logger):
 
 
 def cmd_run(args):
+    import contextlib
+
     from vit2spn_tpu.utils.logging import MetricLogger
 
     cfg = _apply_overrides(get_preset(args.preset), args.override)
     out_dir = args.output_dir or getattr(cfg, "checkpoint_dir", "./output")
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"))
+
+    profile_cm = contextlib.nullcontext()
+    if getattr(args, "profile", False):
+        from vit2spn_tpu.utils.profiling import op_breakdown, trace
+
+        trace_dir = os.path.join(out_dir, "trace")
+        profile_cm = trace(trace_dir)
+    with profile_cm:
+        rc = _run_experiment(cfg, args, out_dir, logger)
+    if getattr(args, "profile", False):
+        for src, us, n in op_breakdown(trace_dir, top=15):
+            logger.log("profile_op", source=src[-80:], total_us=us, count=n)
+    return rc
+
+
+def _run_experiment(cfg, args, out_dir, logger):
 
     if isinstance(cfg, SSPConfig):
         from vit2spn_tpu.data.datasets import load_dataset
@@ -195,6 +213,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--output-dir", default=None)
     r.add_argument("-o", "--override", action="append",
                    help="dotted config override key=value")
+    r.add_argument("--profile", action="store_true",
+                   help="capture a device trace + per-op breakdown into "
+                        "<output-dir>/trace")
     r.set_defaults(fn=cmd_run)
 
     sub.add_parser("presets", help="list presets").set_defaults(fn=cmd_presets)
