@@ -54,10 +54,10 @@ def main() -> None:
         # production path: whole scan of steps in ONE dispatch
         idx_mat = rng.integers(0, len(ds), (n_steps, eff))
         keys = jax.random.split(jax.random.key(seed), n_steps)
-        losses = trainer.train_epoch(idx_mat, keys)
+        metrics = trainer.train_epoch(idx_mat, keys)
         # float() forces a host fetch (block_until_ready returns early on
         # tunneled runtimes and cannot be trusted for timing)
-        return float(losses.mean())
+        return float(metrics["loss"].mean())
 
     run(0)  # warmup: compile + first execution
 

@@ -48,11 +48,11 @@ def test_dp_step_matches_single_device(tiny_ssp):
     key = jax.random.key(0)
 
     tr_multi = SSPTrainer(tiny_ssp, logger=QUIET)
-    loss_multi = float(tr_multi.train_step(batch, key))
+    loss_multi = float(tr_multi.train_step(batch, key)["loss"])
 
     single_mesh = make_mesh(devices=jax.devices()[:1])
     tr_single = SSPTrainer(tiny_ssp, mesh=single_mesh, logger=QUIET)
-    loss_single = float(tr_single.train_step(batch, key))
+    loss_single = float(tr_single.train_step(batch, key)["loss"])
 
     assert loss_multi == pytest.approx(loss_single, abs=1e-5)
     p_m = jax.device_get(tr_multi.state.params.online["patch_embed"]["kernel"])
@@ -95,8 +95,8 @@ def test_tensor_parallel_mesh_runs(tiny_ssp):
     )
     ds = synthetic_dataset(image_size=28, split_sizes={"train": 16})
     tr = SSPTrainer(cfg, logger=QUIET)
-    loss = float(tr.train_step(ds.images[:16], jax.random.key(0)))
+    loss = float(tr.train_step(ds.images[:16], jax.random.key(0))["loss"])
 
     tr_ref = SSPTrainer(tiny_ssp, logger=QUIET)
-    loss_ref = float(tr_ref.train_step(ds.images[:16], jax.random.key(0)))
+    loss_ref = float(tr_ref.train_step(ds.images[:16], jax.random.key(0))["loss"])
     assert loss == pytest.approx(loss_ref, abs=1e-5)

@@ -43,8 +43,8 @@ def test_shard_map_matches_gspmd(det_cfg):
 
     tr_g = SSPTrainer(det_cfg, logger=QUIET, dist_mode="gspmd")
     tr_s = SSPTrainer(det_cfg, logger=QUIET, dist_mode="shard_map")
-    loss_g = float(tr_g.train_step(batch, key))
-    loss_s = float(tr_s.train_step(batch, key))
+    loss_g = float(tr_g.train_step(batch, key)["loss"])
+    loss_s = float(tr_s.train_step(batch, key)["loss"])
     assert loss_s == pytest.approx(loss_g, abs=1e-5)
 
     p_g = jax.device_get(tr_g.state.params.online["patch_embed"]["kernel"])

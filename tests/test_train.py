@@ -161,12 +161,12 @@ def test_epoch_scan_matches_stepwise(tiny_ssp):
     keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.key(9), s))(
         jnp.arange(4)
     )
-    losses_a = np.asarray(tr_a.train_epoch(idx_mat, keys))
+    losses_a = np.asarray(tr_a.train_epoch(idx_mat, keys)["loss"])
 
     tr_b = SSPTrainer(tiny_ssp, logger=QUIET)
     assert tr_b.attach_dataset(ds.images)
     losses_b = [
-        float(tr_b.train_step_indices(idx_mat[i], jax.random.fold_in(jax.random.key(9), i)))
+        float(tr_b.train_step_indices(idx_mat[i], jax.random.fold_in(jax.random.key(9), i))["loss"])
         for i in range(4)
     ]
     np.testing.assert_allclose(losses_a, losses_b, atol=1e-5)

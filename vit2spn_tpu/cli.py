@@ -24,7 +24,6 @@ import os
 import sys
 
 import jax
-import numpy as np
 
 from vit2spn_tpu.core.config import FineTuneConfig, SSPConfig, replace
 from vit2spn_tpu.core.presets import PRESETS, get_preset

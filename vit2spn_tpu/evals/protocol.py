@@ -24,7 +24,6 @@ split (octird_ft_vit2spn.py:215 uses subset_dataset, not train_dataset).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 

@@ -54,7 +54,7 @@ from vit2spn_tpu.models.heads import (
     init_classifier_head,
 )
 from vit2spn_tpu.models.vit import init_vit, vit_features
-from vit2spn_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from vit2spn_tpu.parallel.mesh import make_mesh, replicated_sharding
 from vit2spn_tpu.train.optim import EarlyStopping, ReduceLROnPlateau
 from vit2spn_tpu.utils.logging import MetricLogger
 

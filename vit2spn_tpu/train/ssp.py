@@ -28,10 +28,9 @@ mean over microbatches == sum of (loss/accum_steps).
 
 from __future__ import annotations
 
-import functools
 import os
 import time
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -142,9 +141,20 @@ class SSPTrainer:
                 params, v1, v2, cfg, policy, key=key, train=True,
                 attn_impl=attn_impl,
             )
-            return negative_cosine_loss(pred, tgt)
+            loss = negative_cosine_loss(pred, tgt)
+            # Collapse diagnostic: std of the L2-normalized predictions
+            # across the batch. BYOL-style objectives can collapse to
+            # constant features (loss -> -1 with pred_std -> 0) — observed
+            # on low-diversity synthetic data with the reference's
+            # shared-projection-head variant. The reference has no such
+            # signal; the published runs rely on the real data's diversity.
+            pn = pred / jnp.maximum(
+                jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-8
+            )
+            pred_std = jnp.mean(jnp.std(pn, axis=0))
+            return loss, pred_std
 
-        grad_fn = jax.value_and_grad(loss_fn)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         def step(state: SSPTrainState, batch_u8: jax.Array, step_key: jax.Array):
             # batch_u8: (accum * B, H, W, C) uint8, sharded over data axis
@@ -156,18 +166,20 @@ class SSPTrainer:
             zero_grads = jax.tree.map(jnp.zeros_like, trainable)
 
             def body(carry, inp):
-                grads_acc, loss_acc = carry
+                grads_acc, loss_acc, std_acc = carry
                 mb, k = inp
                 k_aug, k_drop = jax.random.split(k)
                 v1, v2 = dual_view_batch(
                     k_aug, mb, cfg.data.augment, out_dtype=policy.compute_dtype
                 )
-                loss, grads = grad_fn(trainable, state.params.target, v1, v2, k_drop)
+                (loss, pred_std), grads = grad_fn(
+                    trainable, state.params.target, v1, v2, k_drop
+                )
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return (grads_acc, loss_acc + loss), None
+                return (grads_acc, loss_acc + loss, std_acc + pred_std), None
 
-            (grads, loss_sum), _ = jax.lax.scan(
-                body, (zero_grads, jnp.zeros(())), (micro, keys)
+            (grads, loss_sum, std_sum), _ = jax.lax.scan(
+                body, (zero_grads, jnp.zeros(()), jnp.zeros(())), (micro, keys)
             )
             grads = jax.tree.map(lambda g: g / a, grads)
 
@@ -175,10 +187,8 @@ class SSPTrainer:
             online, heads = optax.apply_updates(trainable, updates)
             target = ema_update(state.params.target, online, cfg.ema_momentum)
             new_params = DualStreamParams(online=online, heads=heads, target=target)
-            return (
-                SSPTrainState(new_params, opt_state, state.step + 1),
-                loss_sum / a,
-            )
+            metrics = {"loss": loss_sum / a, "pred_std": std_sum / a}
+            return SSPTrainState(new_params, opt_state, state.step + 1), metrics
 
         if self.dist_mode == "shard_map":
             # explicit-collective formulation (parallel/shard_map_dp.py):
@@ -193,23 +203,24 @@ class SSPTrainer:
                 zero = jax.tree.map(jnp.zeros_like, trainable)
 
                 def body(carry, inp):
-                    g_acc, l_acc = carry
+                    g_acc, l_acc, s_acc = carry
                     mb, k = inp
                     k_aug, k_drop = jax.random.split(k)
                     v1, v2 = dual_view_batch(
                         k_aug, mb, cfg.data.augment, out_dtype=policy.compute_dtype
                     )
-                    loss, grads = grad_fn(
+                    (loss, pred_std), grads = grad_fn(
                         trainable, state.params.target, v1, v2, k_drop
                     )
-                    return (jax.tree.map(jnp.add, g_acc, grads), l_acc + loss), None
+                    return (jax.tree.map(jnp.add, g_acc, grads), l_acc + loss,
+                            s_acc + pred_std), None
 
-                (grads, loss_sum), _ = jax.lax.scan(
-                    body, (zero, jnp.zeros(())), (micro, keys)
+                (grads, loss_sum, std_sum), _ = jax.lax.scan(
+                    body, (zero, jnp.zeros(()), jnp.zeros(())), (micro, keys)
                 )
                 return (
                     jax.tree.map(lambda g: g / a, grads),
-                    loss_sum / a,
+                    {"loss": loss_sum / a, "pred_std": std_sum / a},
                 )
 
             reduced = shard_map_dp_step(
@@ -217,7 +228,7 @@ class SSPTrainer:
             )
 
             def step(state, batch_u8, step_key):  # noqa: F811
-                grads, loss = reduced(state, batch_u8, step_key)
+                grads, metrics = reduced(state, batch_u8, step_key)
                 trainable = (state.params.online, state.params.heads)
                 updates, opt_state = self.tx.update(grads, state.opt_state, trainable)
                 online, heads = optax.apply_updates(trainable, updates)
@@ -228,7 +239,7 @@ class SSPTrainer:
                         opt_state,
                         state.step + 1,
                     ),
-                    loss,
+                    metrics,
                 )
 
         data_shard = batch_sharding(self.mesh, 4)
@@ -274,14 +285,14 @@ class SSPTrainer:
         return step_jit, step_idx_jit, run_steps_jit
 
     # ------------------------------------------------------------------
-    def train_step(self, batch_u8: np.ndarray, step_key) -> jax.Array:
-        """Dispatches one optimizer step; returns the loss as a DEVICE array.
-        Callers must not fetch it per step (that serializes host and device;
-        fetch once per epoch — the async dispatch queue then hides all host
-        work behind device compute)."""
+    def train_step(self, batch_u8: np.ndarray, step_key) -> dict:
+        """Dispatches one optimizer step; returns DEVICE-array metrics
+        {"loss", "pred_std"}. Callers must not fetch them per step (that
+        serializes host and device; fetch once per epoch — the async
+        dispatch queue then hides all host work behind device compute)."""
         batch = jax.device_put(jnp.asarray(batch_u8), batch_sharding(self.mesh, 4))
-        self.state, loss = self._step_fn(self.state, batch, step_key)
-        return loss
+        self.state, metrics = self._step_fn(self.state, batch, step_key)
+        return metrics
 
     def train_step_indices(self, idx: np.ndarray, step_key) -> jax.Array:
         """Step over device-resident data (see attach_dataset): only the
@@ -290,10 +301,10 @@ class SSPTrainer:
         idx_dev = jax.device_put(
             jnp.asarray(idx, jnp.int32), batch_sharding(self.mesh, 1)
         )
-        self.state, loss = self._step_idx_fn(
+        self.state, metrics = self._step_idx_fn(
             self.state, self._device_images, idx_dev, step_key
         )
-        return loss
+        return metrics
 
     def train_epoch(self, idx_mat: np.ndarray, keys: jax.Array) -> jax.Array:
         """Run idx_mat.shape[0] optimizer steps in ONE jitted scan over the
@@ -303,10 +314,10 @@ class SSPTrainer:
             jnp.asarray(idx_mat, jnp.int32),
             NamedSharding(self.mesh, PartitionSpec(None, self.mesh.axis_names[0])),
         )
-        self.state, losses = self._run_steps_fn(
+        self.state, metrics = self._run_steps_fn(
             self.state, self._device_images, idx_dev, keys
         )
-        return losses
+        return metrics  # dict of per-step arrays
 
     def fit(
         self,
@@ -348,21 +359,24 @@ class SSPTrainer:
                 keys = jax.vmap(
                     lambda s: rngmod.fold(key, epoch, s)
                 )(jnp.arange(spe))
-                losses = self.train_epoch(idx_mat, keys)
-                avg = float(jnp.mean(losses))  # the epoch's only host sync
+                metrics = self.train_epoch(idx_mat, keys)
             else:
-                losses = []
+                steps = []
                 for s in range(spe):
                     idx = perm[s * eff : (s + 1) * eff]
                     step_key = rngmod.fold(key, epoch, s)
-                    losses.append(self.train_step(dataset.images[idx], step_key))
-                avg = float(jnp.mean(jnp.stack(losses)))
+                    steps.append(self.train_step(dataset.images[idx], step_key))
+                metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *steps)
+            # the epoch's only host sync
+            avg = float(jnp.mean(metrics["loss"]))
+            pred_std = float(jnp.mean(metrics["pred_std"]))
             dt = time.perf_counter() - t0
             history.append(avg)
             self.logger.log(
                 "ssp_epoch",
                 epoch=epoch + 1,
                 loss=avg,
+                pred_std=pred_std,  # -> 0 signals representational collapse
                 images_per_sec=spe * eff / dt,
                 seconds=dt,
             )
