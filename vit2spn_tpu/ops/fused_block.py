@@ -247,9 +247,15 @@ def _mlp_bwd_kernel(x2_ref, dout_ref, *refs, bt, sp, d, eps):
 
     y2f, xhat2, rstd2 = _ln_fwd(x2, w["ln2_scale"], w["ln2_bias"], eps)
     y2 = y2f.astype(dtype)
+    # m1 stored in compute dtype: the fp32 (rows, mlp_dim) buffer is what
+    # breaks the 16 MB VMEM budget at tile 8 (recompute-side approximation;
+    # the forward kernel keeps exact fp32 m1)
     m1 = jnp.dot(y2, w["w1"], preferred_element_type=jnp.float32)
-    m1 = m1 + w["b1"].astype(jnp.float32)
-    g = (0.5 * m1 * (1.0 + _erf(m1 * 0.7071067811865476))).astype(dtype)
+    m1 = (m1 + w["b1"].astype(jnp.float32)).astype(dtype)
+    m1f = m1.astype(jnp.float32)
+    g = (0.5 * m1f * (1.0 + _erf(m1f * 0.7071067811865476))).astype(dtype)
+    gg = _gelu_grad(m1f).astype(dtype)
+    del m1f
 
     doutdt = dout.astype(dtype)
     dw2 = jax.lax.dot_general(  # g^T dout
@@ -261,7 +267,7 @@ def _mlp_bwd_kernel(x2_ref, dout_ref, *refs, bt, sp, d, eps):
         doutdt, w["w2"], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype)
-    dm1 = (dg.astype(jnp.float32) * _gelu_grad(m1)).astype(dtype)
+    dm1 = dg * gg
     dw1 = jax.lax.dot_general(  # y2^T dm1
         y2, dm1, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -293,8 +299,8 @@ def _attn_bwd_kernel(x_ref, dx2_ref, *refs, bt, sp, d, heads, seq_len, eps):
     dx2 = dx2_ref[...].reshape(bt * sp, d).astype(jnp.float32)
 
     y1f, xhat1, rstd1 = _ln_fwd(x2d, w["ln1_scale"], w["ln1_bias"], eps)
-    y1 = y1f.astype(dtype)
-    qkv = jnp.dot(y1, w["wqkv"], preferred_element_type=jnp.float32)
+    qkv = jnp.dot(y1f.astype(dtype), w["wqkv"],
+                  preferred_element_type=jnp.float32)
     qkv = (qkv + w["bqkv"].astype(jnp.float32)).astype(dtype)
     att = _attention(qkv, bt, sp, d, heads, seq_len, dtype)
 
@@ -309,6 +315,9 @@ def _attn_bwd_kernel(x_ref, dx2_ref, *refs, bt, sp, d, heads, seq_len, eps):
         preferred_element_type=jnp.float32,
     ).astype(dtype)
     dqkv = _attention_bwd(qkv, datt, bt, sp, d, heads, seq_len, dtype)
+    # recompute y1 here (one cheap LN pass) instead of holding it live
+    # across the attention backward — frees 640 KB of VMEM at tile 8
+    y1 = (xhat1 * w["ln1_scale"] + w["ln1_bias"]).astype(dtype)
     dwqkv = jax.lax.dot_general(  # y1^T dqkv
         y1, dqkv, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -410,20 +419,16 @@ def _fused_bwd(heads, eps, block_images, interpret, res, g):
     x, x2p, weights = res  # x2p is already seq-padded
     b, s, d = x.shape
     sp = _round_up(s, 16)
-    # backward kernels hold recompute buffers + weight-grad partials: half
-    # the forward tile keeps them inside the 16 MB VMEM budget
-    bt = _tile_for(b, max(block_images // 2, 1))
-    n_tiles = b // bt
     xp = _pad_seq(x, sp)
     gp = _pad_seq(g.astype(x.dtype), sp)
     orig_weights = weights
     weights = _prep_weights(weights)
     wdict = dict(zip(WEIGHT_NAMES, weights))
 
-    tile_spec = pl.BlockSpec((bt, sp, d), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-
-    def run(kernel, names, inputs, extra_kw):
+    def run(kernel, names, inputs, extra_kw, bt):
+        n_tiles = b // bt
+        tile_spec = pl.BlockSpec((bt, sp, d), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
         ws = [wdict[n] for n in names]
         kern = functools.partial(kernel, bt=bt, sp=sp, d=d, eps=eps, **extra_kw)
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
@@ -446,13 +451,17 @@ def _fused_bwd(heads, eps, block_images, interpret, res, g):
         dgrads = {n: outs[1 + i] for i, n in enumerate(names)}
         return outs[0], dgrads
 
+    # per-kernel tiles: the MLP backward fits the full tile; the attention
+    # backward's recompute buffers need half (16 MB VMEM budget)
     mlp_names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
-    dx2, mlp_grads = run(_mlp_bwd_kernel, mlp_names, (x2p, gp), {})
+    dx2, mlp_grads = run(_mlp_bwd_kernel, mlp_names, (x2p, gp), {},
+                         bt=_tile_for(b, max(block_images // 2, 1)))
 
     attn_names = ("ln1_scale", "ln1_bias", "wqkv", "bqkv", "wo", "bo")
     dxp, attn_grads = run(
         _attn_bwd_kernel, attn_names, (xp, dx2),
         {"heads": heads, "seq_len": s},
+        bt=_tile_for(b, max(block_images // 2, 1)),
     )
 
     all_grads = {**mlp_grads, **attn_grads}
