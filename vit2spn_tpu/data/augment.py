@@ -153,9 +153,10 @@ def _warp_batch(
     c = (s - 1) / 2.0  # PIL rotation center
 
     m = jnp.arange(mid_size, dtype=jnp.float32)
-    # mid-grid -> source resize coords (PIL resize convention, unclamped:
-    # the affine zero-fill dominates borders in the augmented path)
-    g = (m + 0.5) * (s / mid_size) - 0.5
+    # mid-grid -> source resize coords, clamped to the frame: PIL's resize
+    # edge rule. Without the clamp the edge pixels lose tent mass (outermost
+    # output rows darken ~28%); zero fill belongs to the AFFINE stage only.
+    g = jnp.clip((m + 0.5) * (s / mid_size) - 0.5, 0.0, s - 1.0)
 
     px = (g[None, None, :] - c) - trans[:, 0][:, None, None]  # (B, 1, M)
     py = (g[None, :, None] - c) - trans[:, 1][:, None, None]  # (B, M, 1)

@@ -231,14 +231,17 @@ class FineTuneTrainer:
 
     # ------------------------------------------------------------------
     def _device_data(self, ds: Dataset):
-        cached = self._cache.get(id(ds))
-        if cached is None:
-            cached = (
+        entry = self._cache.get(id(ds))
+        if entry is None or entry[0] is not ds:
+            # hold a strong reference to ds: prevents GC + id() reuse from
+            # aliasing a new dataset onto a stale device cache entry
+            entry = (
+                ds,
                 jax.device_put(jnp.asarray(ds.images), self._rep),
                 jax.device_put(jnp.asarray(ds.labels, jnp.int32), self._rep),
             )
-            self._cache[id(ds)] = cached
-        return cached
+            self._cache[id(ds)] = entry
+        return entry[1], entry[2]
 
     def _train_indices(self, n: int, seed: int) -> np.ndarray:
         bs = self.cfg.batch_size
