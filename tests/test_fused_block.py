@@ -72,3 +72,16 @@ def test_grads_match_xla_block(setup):
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3,
             err_msg=f"grad mismatch for {name}",
         )
+
+
+def test_fused_block_generalizes_to_vit_small_dims():
+    """Kernel is dimension-generic: ViT-Small geometry (D=384, 6 heads,
+    mlp 1536) through the same code path (interpret mode)."""
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=384,
+                    num_layers=1, num_heads=6, mlp_dim=1536)
+    params = init_vit(jax.random.key(3), cfg)
+    lp = jax.tree.map(lambda a: a[0], params["blocks"])
+    x = jax.random.normal(jax.random.key(4), (2, cfg.seq_len, cfg.hidden_size))
+    ref = _block(cfg, "xla", x, lp)
+    out = fused_block(x, _as_tuple(lp), cfg.num_heads, cfg.layernorm_eps, 2, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)

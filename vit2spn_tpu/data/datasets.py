@@ -58,6 +58,17 @@ class Dataset:
 _REGISTRY: Dict[str, Callable[..., Dataset]] = {}
 
 
+def _warn_synthetic(name: str, reason: str) -> None:
+    import sys
+
+    print(
+        f"[vit2spn_tpu.data] WARNING: real {name} data unavailable "
+        f"({reason}); using the SYNTHETIC stand-in dataset. Results are NOT "
+        f"comparable to the published numbers.",
+        file=sys.stderr,
+    )
+
+
 def register_dataset(name: str):
     def deco(fn):
         _REGISTRY[name] = fn
@@ -109,6 +120,7 @@ def load_octmnist(root: str = "./datasets", allow_synthetic: bool = True, **_) -
             )
     if not allow_synthetic:
         raise FileNotFoundError(f"octmnist.npz not found under {root}")
+    _warn_synthetic("octmnist", f"octmnist.npz not found under {root}")
     return synthetic_dataset(
         name="octmnist", num_classes=4, class_names=OCTMNIST_CLASSES,
         image_size=28, channels=1,
@@ -167,6 +179,7 @@ def load_octid(root: str = "./datasets", source_size: int = 256,
             return _load_folder(d, "octid", source_size)
     if not allow_synthetic:
         raise FileNotFoundError(f"octid folder not found under {root}")
+    _warn_synthetic("octid", f"no octird/octid folder under {root}")
     return synthetic_dataset(
         name="octid", num_classes=5, class_names=sorted(OCTID_CLASSES),
         image_size=64, channels=1, split_sizes={"all": 572},
@@ -181,6 +194,7 @@ def load_ucsdoct(root: str = "./datasets", source_size: int = 256,
         return _load_folder(d, "ucsdoct", source_size, class_names=None)
     if not allow_synthetic:
         raise FileNotFoundError(f"ucsdoct folder not found under {root}")
+    _warn_synthetic("ucsdoct", f"no ucsdoct folder under {root}")
     return synthetic_dataset(
         name="ucsdoct", num_classes=4, class_names=UCSD_CLASSES,
         image_size=64, channels=1, split_sizes={"all": 8000},
