@@ -296,7 +296,9 @@ def _attn_bwd_kernel(x_ref, dx2_ref, *refs, bt, sp, d, heads, seq_len, eps):
     dtype = x_ref.dtype
     w = {n: r[...] for n, r in zip(names, w_refs)}
     x2d = x_ref[...].reshape(bt * sp, d)
-    dx2 = dx2_ref[...].reshape(bt * sp, d).astype(jnp.float32)
+    # dx2 stays in compute dtype; fp32 only in reductions/accumulators
+    # (frees ~0.6 MB -> attention backward fits VMEM at tile 8)
+    dx2 = dx2_ref[...].reshape(bt * sp, d)
 
     y1f, xhat1, rstd1 = _ln_fwd(x2d, w["ln1_scale"], w["ln1_bias"], eps)
     qkv = jnp.dot(y1f.astype(dtype), w["wqkv"],
@@ -304,14 +306,13 @@ def _attn_bwd_kernel(x_ref, dx2_ref, *refs, bt, sp, d, heads, seq_len, eps):
     qkv = (qkv + w["bqkv"].astype(jnp.float32)).astype(dtype)
     att = _attention(qkv, bt, sp, d, heads, seq_len, dtype)
 
-    dx2dt = dx2.astype(dtype)
     dwo = jax.lax.dot_general(  # att^T dx2
-        att, dx2dt, (((0,), (0,)), ((), ())),
+        att, dx2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dbo = jnp.sum(dx2, axis=0)
+    dbo = jnp.sum(dx2.astype(jnp.float32), axis=0)
     datt = jax.lax.dot_general(  # dx2 @ Wo^T
-        dx2dt, w["wo"], (((1,), (1,)), ((), ())),
+        dx2, w["wo"], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype)
     dqkv = _attention_bwd(qkv, datt, bt, sp, d, heads, seq_len, dtype)
@@ -328,7 +329,7 @@ def _attn_bwd_kernel(x_ref, dx2_ref, *refs, bt, sp, d, heads, seq_len, eps):
         preferred_element_type=jnp.float32,
     )
     dx_ln, dln1_s, dln1_b = _ln_bwd(dy1, xhat1, rstd1, w["ln1_scale"])
-    dx = dx2 + dx_ln  # residual: x2 = x + attn(...)
+    dx = dx2.astype(jnp.float32) + dx_ln  # residual: x2 = x + attn(...)
 
     dx_ref[...] = dx.astype(dtype).reshape(bt, sp, d)
     partials = dict(ln1_scale=dln1_s, ln1_bias=dln1_b, wqkv=dwqkv,
@@ -458,6 +459,8 @@ def _fused_bwd(heads, eps, block_images, interpret, res, g):
                          bt=_tile_for(b, max(block_images // 2, 1)))
 
     attn_names = ("ln1_scale", "ln1_bias", "wqkv", "bqkv", "wo", "bo")
+    # Mosaic's scoped-VMEM reservation for the unrolled per-image attention
+    # loop caps this kernel at half tile regardless of buffer trims
     dxp, attn_grads = run(
         _attn_bwd_kernel, attn_names, (xp, dx2),
         {"heads": heads, "seq_len": s},
