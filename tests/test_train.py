@@ -173,3 +173,16 @@ def test_epoch_scan_matches_stepwise(tiny_ssp):
     pa = jax.device_get(tr_a.state.params.online["patch_embed"]["kernel"])
     pb = jax.device_get(tr_b.state.params.online["patch_embed"]["kernel"])
     np.testing.assert_allclose(pa, pb, atol=1e-5)
+
+
+def test_extract_features(tiny_ssp):
+    """extract_online_features parity utility
+    (dsn_ssn/ssp_single.py:140-156): fused online features for probing."""
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 20})
+    tr = SSPTrainer(tiny_ssp, logger=QUIET)
+    feats, labels = tr.extract_features(ds, batch_size=8)
+    assert feats.shape == (20, 2 * tiny_ssp.vit.hidden_size)  # dual stream
+    assert labels.shape == (20,)
+    feats2, _ = tr.extract_features(ds, batch_size=8)
+    np.testing.assert_array_equal(feats, feats2)  # deterministic views
+    assert np.isfinite(feats).all()

@@ -389,6 +389,45 @@ class SSPTrainer:
                 self.logger.log("checkpoint", epoch=epoch + 1, path=checkpoint_path)
         return history
 
+    def extract_features(
+        self, dataset: Dataset, batch_size: int = 256, augment: bool = False
+    ):
+        """Online-network fused features for downstream probing
+        (extract_online_features, dsn_ssn/ssp_single.py:140-156).
+
+        Returns (features (N, n_streams*D) fp32, labels (N,)). Deterministic
+        resize views by default; `augment=True` reproduces the reference's
+        augmented-view extraction."""
+        import dataclasses as _dc
+
+        from vit2spn_tpu.data.augment import dual_view_batch
+        from vit2spn_tpu.models.ssp import _batched_features
+
+        cfg, policy = self.cfg, self.policy
+        aug_cfg = cfg.data.augment if augment else _dc.replace(
+            cfg.data.augment, enabled=False
+        )
+
+        @jax.jit
+        def feats_fn(online, batch_u8, key):
+            v1, v2 = dual_view_batch(key, batch_u8, aug_cfg,
+                                     out_dtype=policy.compute_dtype)
+            views = jnp.stack([v1, v2]) if cfg.dual_stream else v1[None]
+            f = _batched_features(online, views, cfg, policy, self.attn_impl)
+            return f.transpose(1, 0, 2).reshape(batch_u8.shape[0], -1)
+
+        feats = []
+        n = len(dataset)
+        for s in range(0, n, batch_size):
+            chunk = dataset.images[s : s + batch_size]
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
+            key = rngmod.fold(rngmod.root_key(cfg.seed), 31337, s)
+            out = feats_fn(self.state.params.online, jnp.asarray(chunk), key)
+            feats.append(np.asarray(out)[: batch_size - pad or batch_size])
+        return np.concatenate(feats)[:n], np.asarray(dataset.labels)
+
     def export_backbone(self, path: Optional[str] = None) -> str:
         """Final artifact: the stream-1 online backbone only
         (ssp_vit2spn_tiny.py:246) — the inter-script API every fine-tune
