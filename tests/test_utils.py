@@ -1,0 +1,58 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit2spn_tpu.core import rng as rngmod
+from vit2spn_tpu.utils.flops import dual_stream_report, forward_flops
+from vit2spn_tpu.utils.logging import MetricLogger
+from vit2spn_tpu.utils.profiling import op_breakdown, profile_fn
+
+
+def test_rng_fold_deterministic_and_distinct():
+    k = rngmod.root_key(42)
+    a = rngmod.fold(k, 1, 2)
+    b = rngmod.fold(k, 1, 2)
+    c = rngmod.fold(k, 2, 1)
+    assert jax.random.key_data(a).tolist() == jax.random.key_data(b).tolist()
+    assert jax.random.key_data(a).tolist() != jax.random.key_data(c).tolist()
+    named = rngmod.split_tree(k, ["x", "y"])
+    assert set(named) == {"x", "y"}
+
+
+def test_forward_flops_matmul():
+    f = lambda a, b: a @ b
+    x = jnp.ones((64, 128))
+    y = jnp.ones((128, 32))
+    flops = forward_flops(f, x, y)
+    # XLA counts 2*M*N*K for a matmul
+    assert flops == pytest.approx(2 * 64 * 128 * 32, rel=0.01)
+
+
+def test_dual_stream_report_param_parity(tiny_ssp):
+    from vit2spn_tpu.models.ssp import init_dual_stream
+
+    params = init_dual_stream(jax.random.key(0), tiny_ssp)
+    rep = dual_stream_report(tiny_ssp, params)
+    assert rep["trainable_params"] > 0
+    assert rep["total_params"] > rep["trainable_params"]  # + frozen targets
+
+
+def test_metric_logger_jsonl(tmp_path):
+    import json
+
+    path = str(tmp_path / "m.jsonl")
+    with MetricLogger(path, echo=False) as log:
+        log.log("evt", a=1, b=2.5)
+        log.log("evt2", c="x")
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["event"] == "evt" and lines[0]["a"] == 1
+    assert lines[1]["c"] == "x"
+
+
+def test_profile_fn_cpu(tmp_path):
+    f = jax.jit(lambda x: jnp.sin(x) @ x.T)
+    rows = profile_fn(lambda: f(jnp.ones((128, 128))),
+                      log_dir=str(tmp_path / "tr"), top=5)
+    assert len(rows) > 0
+    assert all(len(r) == 3 for r in rows)
