@@ -21,6 +21,7 @@ Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -30,17 +31,31 @@ import numpy as np
 RTX6000_EST_IMG_PER_SEC = 565.0
 
 
-def main() -> None:
-    from vit2spn_tpu.core.config import SSPConfig
+def main(argv=None) -> None:
+    from vit2spn_tpu.core.config import SSPConfig, replace
     from vit2spn_tpu.data.datasets import synthetic_dataset
     from vit2spn_tpu.train.ssp import SSPTrainer
     from vit2spn_tpu.utils.logging import MetricLogger
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mode", choices=["octmnist", "hires"], default="octmnist",
+        help="octmnist: 28 px sources (flagship protocol). hires: 256 px "
+        "folder-dataset-shaped sources -> band-limit -> warp "
+        "(OCTID/UCSD pipeline cost, ucsdoct_ft_vit2spn.py:30-43).",
+    )
+    ap.add_argument("--band-limit", type=int, default=None,
+                    help="override augment band_limit (hires tuning)")
+    args = ap.parse_args(argv)
+
     cfg = SSPConfig(pretrained_init=False)  # full flagship config
+    src = 28 if args.mode == "octmnist" else 256
+    if args.band_limit is not None:
+        cfg = replace(cfg, **{"data.augment.band_limit": args.band_limit})
     n_chips = jax.device_count()
     trainer = SSPTrainer(cfg, logger=MetricLogger(echo=False))
     ds = synthetic_dataset(
-        image_size=28, split_sizes={"train": 4 * cfg.effective_batch}, seed=0
+        image_size=src, split_sizes={"train": 4 * cfg.effective_batch}, seed=0
     )
 
     eff = cfg.effective_batch
@@ -67,10 +82,11 @@ def main() -> None:
 
     img_per_sec = n_steps * eff / dt
     img_per_sec_chip = img_per_sec / n_chips
+    suffix = "" if args.mode == "octmnist" else "_hires"
     print(
         json.dumps(
             {
-                "metric": "ssp_images_per_sec_per_chip",
+                "metric": f"ssp_images_per_sec_per_chip{suffix}",
                 "value": round(img_per_sec_chip, 2),
                 "unit": "images/s/chip",
                 "vs_baseline": round(img_per_sec_chip / RTX6000_EST_IMG_PER_SEC, 3),

@@ -37,6 +37,8 @@ def test_preset_families_match_reference_matrix():
     assert get_preset("sl-ssp/ssp-octmnist").init == "ssp"
     # ssp_ssl scratch family
     assert get_preset("ssp-ssl/ft-octid-scratch").init == "scratch"
+    # ssp_ssl/octmnist_ft.py:231 loads the SCRATCH export, not the ssp one
+    assert get_preset("ssp-ssl/ft-octmnist").init == "scratch"
 
 
 def test_cli_presets_command(capsys):

@@ -93,3 +93,32 @@ def test_write_summary_json(tmp_path):
     ds = synthetic_dataset(split_sizes={"train": 16})
     path = write_summary(ds, str(tmp_path), make_figures=False)
     assert json.loads(open(path).read())["dataset"] == "synthetic"
+
+
+def test_octmnist_npz_format_validation(tmp_path):
+    """Handcrafted medmnist-format octmnist.npz must load with correct
+    splits/shapes/labels — the moment the real file appears, `run ssp` and
+    `run ft-octmnist` execute the published protocol unmodified."""
+    rng = np.random.default_rng(0)
+    sizes = {"train": 12, "val": 5, "test": 7}
+    arrays = {}
+    for split, n in sizes.items():
+        arrays[f"{split}_images"] = rng.integers(
+            0, 255, (n, 28, 28), dtype=np.uint8
+        )
+        arrays[f"{split}_labels"] = rng.integers(0, 4, (n, 1)).astype(np.int64)
+    np.savez(tmp_path / "octmnist.npz", **arrays)
+
+    ds = load_dataset("octmnist", root=str(tmp_path))
+    assert len(ds) == sum(sizes.values())
+    assert ds.images.shape == (24, 28, 28, 1) and ds.images.dtype == np.uint8
+    assert ds.num_classes == 4 and len(ds.class_names) == 4
+    for split, n in sizes.items():
+        sub = ds.split(split)
+        assert len(sub) == n
+        np.testing.assert_array_equal(
+            sub.images[..., 0], arrays[f"{split}_images"]
+        )
+        np.testing.assert_array_equal(
+            sub.labels, arrays[f"{split}_labels"].reshape(-1)
+        )

@@ -74,3 +74,55 @@ def test_feature_semantics_parity(hf_pair):
     # last_hidden_state vs hidden_states[-1] mixup SURVEY.md warns about)
     ref_wrong = out.last_hidden_state.mean(dim=1).numpy()
     assert np.abs(ref_feats - ref_wrong).max() > 1e-3
+
+
+def test_local_weight_file_loading(hf_pair, tmp_path, monkeypatch):
+    """Real-data readiness: load_pretrained_vit_tiny must accept a local
+    .safetensors or .npz state-dict file (and $VIT2SPN_VIT_TINY_PATH), so
+    dropping weights on disk activates the ImageNet-init protocols."""
+    import jax
+
+    from vit2spn_tpu.models.hf_convert import (
+        load_local_state,
+        load_pretrained_vit_tiny,
+        read_safetensors,
+    )
+
+    cfg, model, params = hf_pair
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    # .npz route (with a vit.-prefixed dict, as classification checkpoints use)
+    npz_path = str(tmp_path / "w.npz")
+    np.savez(npz_path, **{f"vit.{k}": v for k, v in state.items()})
+    got = load_pretrained_vit_tiny(cfg, path=npz_path)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # .safetensors route through the dependency-free reader
+    st = pytest.importorskip("safetensors.numpy")
+    st_path = str(tmp_path / "w.safetensors")
+    st.save_file({k: np.ascontiguousarray(v) for k, v in state.items()}, st_path)
+    raw = read_safetensors(st_path)
+    assert set(raw) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(raw[k], state[k])
+    got2 = load_pretrained_vit_tiny(cfg, path=st_path)
+    for a, b in zip(jax.tree.leaves(got2), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # bf16 widening in the raw reader
+    bf = torch.randn(3, 5).to(torch.bfloat16)
+    st_path2 = str(tmp_path / "bf.safetensors")
+    from safetensors.torch import save_file as save_torch
+
+    save_torch({"x": bf}, st_path2)
+    out = read_safetensors(st_path2)["x"]
+    np.testing.assert_allclose(out, bf.float().numpy(), rtol=0, atol=0)
+
+    # env-var route
+    monkeypatch.setenv("VIT2SPN_VIT_TINY_PATH", npz_path)
+    got3 = load_pretrained_vit_tiny(cfg)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(got3)[0]), np.asarray(jax.tree.leaves(params)[0])
+    )
+    assert load_local_state(npz_path)  # direct API also exposed

@@ -92,3 +92,19 @@ def test_stratified_holdout_70_20_10():
     for part, frac in ((tr, 0.7), (va, 0.2), (te, 0.1)):
         for cls in range(5):
             assert abs((labels[part] == cls).sum() - 100 * frac) <= 1
+
+
+def test_absent_class_yields_nan_like_sklearn():
+    """A class with no positive samples must produce NaN (sklearn roc_curve
+    semantics), which propagates through mAUC exactly as the reference's
+    np.mean over per-class AUCs would — not a silent AUC=0."""
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 2, 40)  # class 2 never occurs
+    probs = rng.dirichlet(np.ones(3), size=40)
+    fpr, tpr, _ = roc_curve((labels == 2).astype(int), probs[:, 2])
+    assert np.isnan(tpr).all() and not np.isnan(fpr).any()
+    assert np.isnan(auc(fpr, tpr))
+    assert np.isnan(mean_auc(labels, probs))
+    # all-positive degenerate case: fpr side is NaN
+    fpr2, _, _ = roc_curve(np.ones(10, int), np.linspace(0, 1, 10))
+    assert np.isnan(fpr2).all()

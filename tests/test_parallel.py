@@ -87,16 +87,46 @@ def test_dp_finetune_bn_uses_global_stats(tiny_ft):
     np.testing.assert_allclose(bn_m, bn_s, atol=1e-3)
 
 
-def test_tensor_parallel_mesh_runs(tiny_ssp):
-    """2-way model axis: step still runs and matches pure-DP numerics
-    (GSPMD handles the resharding; ViT-Tiny TP is for demonstration)."""
+def test_tensor_parallel_params_actually_partitioned(tiny_ssp):
+    """REAL tensor parallelism (parallel/tp.py): the matmul weights must be
+    genuinely partitioned over the model axis — inspect .sharding.spec, not
+    just numerics — and a TP step must match pure-DP numerics."""
+    from jax.sharding import PartitionSpec as P
+
+    from vit2spn_tpu.parallel.tp import assert_tensor_parallel
+
     cfg = dataclasses.replace(
         tiny_ssp, mesh=dataclasses.replace(tiny_ssp.mesh, model_parallel=2)
     )
     ds = synthetic_dataset(image_size=28, split_sizes={"train": 16})
     tr = SSPTrainer(cfg, logger=QUIET)
-    loss = float(tr.train_step(ds.images[:16], jax.random.key(0))["loss"])
 
+    # Megatron pairing: wqkv/w1 column-parallel, wo/w2 row-parallel;
+    # stacked dual-stream params carry (net, layer) leading dims.
+    blocks = tr.state.params.online["blocks"]
+    assert blocks["wqkv"].sharding.spec == P(None, None, None, "model")
+    assert blocks["w1"].sharding.spec == P(None, None, None, "model")
+    assert blocks["wo"].sharding.spec == P(None, None, "model", None)
+    assert blocks["w2"].sharding.spec == P(None, None, "model", None)
+    # heads: first linear column-parallel, second row-parallel
+    proj = tr.state.params.heads["projection"]
+    assert proj["linear_0"]["w"].sharding.spec == P(None, "model")
+    assert proj["linear_1"]["w"].sharding.spec == P("model", None)
+    # layernorms replicated
+    assert "model" not in (blocks["ln1_scale"].sharding.spec or ())
+    # and the optimizer state mirrors the param sharding
+    n_sharded = assert_tensor_parallel(tr.state)
+    assert n_sharded >= 30  # params + adam mu/nu across 2 nets x online/target
+
+    loss = float(tr.train_step(ds.images[:16], jax.random.key(0))["loss"])
     tr_ref = SSPTrainer(tiny_ssp, logger=QUIET)
     loss_ref = float(tr_ref.train_step(ds.images[:16], jax.random.key(0))["loss"])
     assert loss == pytest.approx(loss_ref, abs=1e-5)
+
+    # params after the update remain partitioned AND match DP numerics
+    assert tr.state.params.online["blocks"]["wqkv"].sharding.spec == P(
+        None, None, None, "model"
+    )
+    p_tp = jax.device_get(tr.state.params.online["blocks"]["wqkv"])
+    p_dp = jax.device_get(tr_ref.state.params.online["blocks"]["wqkv"])
+    np.testing.assert_allclose(p_tp, p_dp, atol=2e-5)

@@ -70,3 +70,35 @@ def test_cv_protocol_end_to_end(tiny_ft):
     assert set(s["per_class"]) == set(ds.class_names)
     assert 0.0 <= s["accuracy"] <= 1.0
     assert len(res.fold_rocs) == 3
+
+
+def test_multitrial_per_fold_test_eval(tiny_ft):
+    """multitrial estimator: EVERY fold's model is evaluated on the held-out
+    test set; aggregate = mean±std ACROSS FOLDS of one run
+    (multitrial/octmnist_ft_vit2spn.py:230-241,249-263)."""
+    cfg = _cfg(tiny_ft)
+    ds = synthetic_dataset(split_sizes={"train": 96, "test": 48}, seed=7)
+    res = run_cv_protocol(cfg, dataset=ds, logger=QUIET, per_fold_test=True)
+    assert len(res.fold_test_metrics) == cfg.k_folds
+    agg = res.multitrial_aggregate()
+    assert set(agg) == {"accuracy", "sensitivity", "specificity",
+                        "confidence", "mauc"}
+    accs = [m["accuracy"] for m in res.fold_test_metrics]
+    np.testing.assert_allclose(agg["accuracy"]["mean"], np.mean(accs))
+    np.testing.assert_allclose(agg["accuracy"]["std"], np.std(accs))
+    # mAUC aggregates the VAL-fold mAUCs (reference keeps those for the
+    # "Mean AUC across folds" line)
+    np.testing.assert_allclose(agg["mauc"]["mean"], np.mean(res.fold_aucs))
+
+
+def test_run_multitrial_output_shape(tiny_ft):
+    from vit2spn_tpu.evals.protocol import run_multitrial
+
+    cfg = _cfg(tiny_ft, num_trials=2)
+    ds = synthetic_dataset(split_sizes={"train": 96, "test": 48}, seed=9)
+    out = run_multitrial(cfg, dataset=ds, logger=QUIET)
+    assert len(out["trials"]) == 2
+    assert out["aggregate"] == out["trials"][0]["aggregate"]
+    assert "across_trials" in out
+    for t in out["trials"]:
+        assert len(t["fold_metrics"]) == cfg.k_folds

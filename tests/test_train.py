@@ -176,13 +176,38 @@ def test_epoch_scan_matches_stepwise(tiny_ssp):
 
 
 def test_extract_features(tiny_ssp):
-    """extract_online_features parity utility
-    (dsn_ssn/ssp_single.py:140-156): fused online features for probing."""
+    """extract_online_features parity utility (dsn_ssn/ssp_single.py:140-156):
+    default = eval-mode online PREDICTION-head output (B, proj_dim)."""
     ds = synthetic_dataset(image_size=28, split_sizes={"train": 20})
     tr = SSPTrainer(tiny_ssp, logger=QUIET)
     feats, labels = tr.extract_features(ds, batch_size=8)
-    assert feats.shape == (20, 2 * tiny_ssp.vit.hidden_size)  # dual stream
+    assert feats.shape == (20, tiny_ssp.proj_dim)
     assert labels.shape == (20,)
     feats2, _ = tr.extract_features(ds, batch_size=8)
     np.testing.assert_array_equal(feats, feats2)  # deterministic views
     assert np.isfinite(feats).all()
+    # framework extension: raw concatenated backbone features
+    raw, _ = tr.extract_features(ds, batch_size=8, features="backbone")
+    assert raw.shape == (20, 2 * tiny_ssp.vit.hidden_size)  # dual stream
+
+
+def test_plateau_threshold_matches_torch():
+    """torch default threshold=1e-4 (rel): sub-threshold micro-improvements
+    count as bad epochs; the lr-drop epoch must match torch exactly
+    (octmnist_ft_vit2spn.py:193)."""
+    torch = pytest.importorskip("torch")
+    # plateau with micro-improvements below best*(1-1e-4), then a real drop
+    seq = [1.0, 0.99999, 0.99997, 0.99996, 0.99995, 0.99994, 0.5,
+           0.49999, 0.499991, 0.499985, 0.49998, 0.499979, 0.4]
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, "min", factor=0.1, patience=3
+    )
+    ours = ReduceLROnPlateau(factor=0.1, patience=3)
+    for metric in seq:
+        sch.step(metric)
+        scale = ours.step(metric)
+        assert opt.param_groups[0]["lr"] == pytest.approx(scale, abs=1e-12), (
+            f"diverged at metric={metric}"
+        )
+    assert ours.scale < 1.0  # the plateau actually triggered a drop

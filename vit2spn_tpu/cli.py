@@ -61,7 +61,9 @@ def _resolve_backbone(cfg: FineTuneConfig, logger):
         try:
             from vit2spn_tpu.models.hf_convert import load_pretrained_vit_tiny
 
-            return load_pretrained_vit_tiny(cfg.vit)
+            # init_path may point at a local .safetensors/.npz state dict or
+            # an HF model directory (models/hf_convert.py)
+            return load_pretrained_vit_tiny(cfg.vit, path=cfg.init_path)
         except Exception as e:  # noqa: BLE001
             logger.log("warning", message=f"imagenet init unavailable ({e}); random init")
             return None

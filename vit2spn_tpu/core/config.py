@@ -87,6 +87,11 @@ class AugmentConfig:
     # (ucsdoct_ft_vit2spn.py:42).
     normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # Sources larger than this are pre-shrunk separably before the affine
+    # warp (tent-GEMM cost grows ~quadratically with source size). 96 keeps
+    # well above the 224-out Nyquist of the 128-px warp grid; 64 trades a
+    # little high-frequency content for a ~2x cheaper warp on folder data.
+    band_limit: int = 96
     enabled: bool = True
 
     @staticmethod

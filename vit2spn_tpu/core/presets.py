@@ -91,7 +91,9 @@ for _ds, _data in (("octmnist", _OCTMNIST_FT_DATA), ("octid", _OCTID_FT_DATA),
     PRESETS[f"sl-ssp/ssp-{_ds}"] = _ft(_data, "ssp")  # sl_ssp/ssp_*.py
 
 # --- ssp_ssl ablations (C8): pretrained vs scratch SSP checkpoints -----------
-PRESETS["ssp-ssl/ft-octmnist"] = _ft(_OCTMNIST_FT_DATA, "ssp")
+# ssp_ssl/octmnist_ft.py:231 loads the SCRATCH export
+# (octmnist_vit2spn_tiny_scratch_model.pth) — this is the scratch arm.
+PRESETS["ssp-ssl/ft-octmnist"] = _ft(_OCTMNIST_FT_DATA, "scratch")
 for _ds, _data in (("octid", _OCTID_FT_DATA), ("ucsdoct", _UCSD_FT_DATA)):
     PRESETS[f"ssp-ssl/ft-{_ds}-pt"] = _ft(_data, "ssp")
     PRESETS[f"ssp-ssl/ft-{_ds}-scratch"] = _ft(_data, "scratch")

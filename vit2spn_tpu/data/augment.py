@@ -295,7 +295,7 @@ def _augment_batch_impl(key, images_u8, cfg: AugmentConfig, out_dtype):
         return out3.astype(out_dtype)
 
     compute = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
-    gray = _band_limit(gray.astype(compute))
+    gray = _band_limit(gray.astype(compute), cfg.band_limit)
     s = gray.shape[1]
 
     kg, kj, kb, ke = jax.random.split(key, 4)

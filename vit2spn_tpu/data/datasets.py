@@ -43,10 +43,14 @@ class Dataset:
         return len(self.images)
 
     def subset(self, indices: np.ndarray, name: Optional[str] = None) -> "Dataset":
+        # threaded native gather for large uint8 image blocks (bit-identical
+        # to fancy indexing, with a transparent numpy fallback) — data/native.py
+        from vit2spn_tpu.data import native
+
         return Dataset(
             name=name or self.name,
-            images=self.images[indices],
-            labels=self.labels[indices],
+            images=native.gather_batch(self.images, indices),
+            labels=self.labels[np.asarray(indices).reshape(-1)],
             num_classes=self.num_classes,
             class_names=self.class_names,
         )

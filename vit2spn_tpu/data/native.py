@@ -66,12 +66,13 @@ def available() -> bool:
 def gather_batch(images: np.ndarray, idx: np.ndarray,
                  out: np.ndarray | None = None,
                  n_threads: int | None = None) -> np.ndarray:
-    """out[i] = images[idx[i]] — threaded memcpy gather (numpy fallback)."""
+    """out[i] = images[idx[i]] — threaded memcpy gather. Bit-identical to
+    numpy fancy indexing (tests/test_native.py); falls back to it when the
+    library is unavailable or the array isn't a contiguous uint8 block."""
     lib = _load_library()
-    idx = np.ascontiguousarray(idx, dtype=np.int64)
-    if lib is None:
+    idx = np.ascontiguousarray(np.asarray(idx).reshape(-1), dtype=np.int64)
+    if lib is None or images.dtype != np.uint8 or not images.flags.c_contiguous:
         return images[idx]
-    assert images.dtype == np.uint8 and images.flags.c_contiguous
     row_bytes = int(np.prod(images.shape[1:]))
     if out is None:
         out = np.empty((len(idx),) + images.shape[1:], dtype=np.uint8)

@@ -16,7 +16,12 @@ import numpy as np
 
 def roc_curve(y_true: np.ndarray, y_score: np.ndarray):
     """Binary ROC via score-sorted cumulative counts (sklearn-equivalent with
-    drop_intermediate=False). Returns (fpr, tpr, thresholds)."""
+    drop_intermediate=False). Returns (fpr, tpr, thresholds).
+
+    A class with no positive (or no negative) samples yields NaN tpr (fpr),
+    matching sklearn.metrics.roc_curve; the NaN then propagates through auc()
+    and mean_auc() exactly as the reference's
+    `np.mean(list(roc_auc.values()))` would (octmnist_ft_vit2spn.py:148)."""
     y_true = np.asarray(y_true).astype(bool)
     y_score = np.asarray(y_score)
     order = np.argsort(-y_score, kind="stable")
@@ -28,14 +33,19 @@ def roc_curve(y_true: np.ndarray, y_score: np.ndarray):
     fps = (idx + 1) - tps
     tps = np.r_[0.0, tps]
     fps = np.r_[0.0, fps]
-    p = max(tps[-1], 1e-12)
-    n = max(fps[-1], 1e-12)
     thresholds = np.r_[np.inf, y_score[idx]]
-    return fps / n, tps / p, thresholds
+    with np.errstate(invalid="ignore", divide="ignore"):
+        fpr = fps / fps[-1] if fps[-1] > 0 else np.full_like(fps, np.nan)
+        tpr = tps / tps[-1] if tps[-1] > 0 else np.full_like(tps, np.nan)
+    return fpr, tpr, thresholds
+
+
+# np.trapezoid is NumPy >= 2.0; np.trapz is its (deprecated) 1.x spelling.
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
 
 
 def auc(x: np.ndarray, y: np.ndarray) -> float:
-    return float(np.trapezoid(y, x))
+    return float(_trapezoid(y, x))
 
 
 def per_class_roc(

@@ -14,11 +14,23 @@ HF ViTModel state dict onto vit2spn_tpu.models.vit's layout:
 Conversion is validated against a torch-executed HF ViTModel in
 tests/test_hf_parity.py (random-init HF model built offline from ViTConfig).
 In this build environment the pretrained checkpoint itself is not downloadable
-(no network egress); `load_pretrained_vit_tiny` uses the local HF cache only
-and raises if absent — callers fall back to random init with a warning.
+(no network egress); `load_pretrained_vit_tiny` therefore accepts, in order:
+
+  1. an explicit local `path` (or $VIT2SPN_VIT_TINY_PATH): a `.safetensors`
+     or `.npz` file holding the HF-named state dict (optionally with a
+     `vit.` key prefix), or an HF model directory — so the moment weights
+     appear on disk, the published ImageNet-init protocols run unmodified;
+  2. the local HF cache (`from_pretrained(local_files_only=True)`).
+
+It raises if neither is available — callers fall back to random init with a
+warning.
 """
 
 from __future__ import annotations
+
+import json
+import os
+import struct
 
 import numpy as np
 
@@ -95,12 +107,69 @@ def _to_f32(tree):
     return np.asarray(tree, dtype=np.float32)
 
 
+_SAFETENSORS_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def read_safetensors(path: str) -> dict:
+    """Dependency-free safetensors reader (8-byte little-endian header length,
+    JSON tensor table, raw buffer). BF16 is widened to fp32."""
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        data = f.read()
+    out = {}
+    for name, info in header.items():
+        if name == "__metadata__":
+            continue
+        start, end = info["data_offsets"]
+        buf = data[start:end]
+        if info["dtype"] == "BF16":
+            arr = (np.frombuffer(buf, np.uint16).astype(np.uint32) << 16).view(
+                np.float32
+            )
+        else:
+            arr = np.frombuffer(buf, _SAFETENSORS_DTYPES[info["dtype"]])
+        out[name] = arr.reshape(info["shape"])
+    return out
+
+
+def _strip_prefix(state: dict) -> dict:
+    """Accept checkpoints saved from ViTForImageClassification-style wrappers
+    where backbone keys carry a `vit.` prefix."""
+    if any(k.startswith("embeddings.") for k in state):
+        return state
+    return {
+        k[len("vit."):]: v for k, v in state.items() if k.startswith("vit.")
+    } or state
+
+
+def load_local_state(path: str) -> dict:
+    """name -> numpy array from a .safetensors / .npz state-dict file."""
+    if path.endswith(".npz"):
+        return _strip_prefix(dict(np.load(path)))
+    if path.endswith(".safetensors"):
+        return _strip_prefix(read_safetensors(path))
+    raise ValueError(f"unsupported weight file {path!r} (.safetensors or .npz)")
+
+
 def load_pretrained_vit_tiny(
-    cfg: ViTConfig, model_name: str = "WinKawaks/vit-tiny-patch16-224"
+    cfg: ViTConfig,
+    model_name: str = "WinKawaks/vit-tiny-patch16-224",
+    path: str | None = None,
 ) -> dict:
-    """Local-cache-only load of the HF checkpoint + conversion."""
+    """Load + convert the pretrained ViT-Tiny checkpoint from a local weight
+    file / HF model directory (`path` or $VIT2SPN_VIT_TINY_PATH), else from
+    the local HF cache. Raises when nothing is available."""
+    path = path or os.environ.get("VIT2SPN_VIT_TINY_PATH")
+    if path and not os.path.isdir(path):
+        return convert_hf_state_dict(load_local_state(path), cfg)
+
     from transformers import ViTModel  # lazy: torch is heavy
 
-    model = ViTModel.from_pretrained(model_name, local_files_only=True)
+    model = ViTModel.from_pretrained(path or model_name, local_files_only=True)
     state = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     return convert_hf_state_dict(state, cfg)

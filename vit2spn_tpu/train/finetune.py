@@ -91,7 +91,12 @@ def _build_finetune_fns(
         optax.scale_by_adam(),
     )
     rep = replicated_sharding(mesh)
-    data_axis = mesh.axis_names[0]
+    # honor a renamed data axis (cfg or an externally-built mesh)
+    data_axis = (
+        cfg.mesh.data_axis
+        if cfg.mesh.data_axis in mesh.axis_names
+        else mesh.axis_names[0]
+    )
 
     def forward(backbone, head, bn_state, images, key, train):
         feats = vit_features(backbone, images, cfg.vit, policy, attn_impl)
@@ -199,7 +204,9 @@ class FineTuneTrainer:
         self.cfg = cfg
         self.num_classes = num_classes
         self.mesh = mesh if mesh is not None else make_mesh(
-            model_parallel=cfg.mesh.model_parallel
+            model_parallel=cfg.mesh.model_parallel,
+            data_axis=cfg.mesh.data_axis,
+            model_axis=cfg.mesh.model_axis,
         )
         self.logger = logger or MetricLogger(echo=True)
         if attn_impl is None:

@@ -4,9 +4,11 @@ torch semantics reproduced exactly:
   * ReduceLROnPlateau(mode="min", factor, patience) — octmnist_ft_vit2spn.py:193
     (UCSD variant patience=2 factor=0.5, ucsdoct_ft_vit2spn.py:288).
     torch counts "bad" epochs AFTER patience is exceeded: lr drops on the
-    (patience+1)-th consecutive non-improving epoch; improvement is strict
-    (new < best). The scale is fed into the jitted step as a traced scalar so
-    no recompilation happens on lr changes.
+    (patience+1)-th consecutive non-improving epoch. Improvement uses torch's
+    default threshold=1e-4 in 'rel' mode — metric < best*(1-1e-4) — so
+    sub-threshold micro-improvements still count as bad epochs (pinned against
+    torch in tests/test_train.py). The scale is fed into the jitted step as a
+    traced scalar so no recompilation happens on lr changes.
   * Early stopping on val loss with best-weight restore
     (fine_tune_model, octmnist_ft_vit2spn.py:90-126).
   * sklearn-style balanced class weights: n / (k * bincount)
@@ -25,13 +27,22 @@ class ReduceLROnPlateau:
     factor: float = 0.1
     patience: int = 3
     min_lr: float = 0.0
+    # torch defaults: threshold=1e-4, threshold_mode='rel' — improvement means
+    # metric < best * (1 - threshold) (mode='min'); 'abs' means best - threshold.
+    threshold: float = 1e-4
+    threshold_mode: str = "rel"
     scale: float = 1.0
     best: float = float("inf")
     num_bad: int = 0
 
+    def _is_better(self, metric: float) -> bool:
+        if self.threshold_mode == "rel":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric < self.best - self.threshold
+
     def step(self, metric: float) -> float:
         """Record an epoch's val metric; returns the current lr scale."""
-        if metric < self.best:
+        if self._is_better(metric):
             self.best = metric
             self.num_bad = 0
         else:
@@ -66,9 +77,12 @@ class EarlyStopping:
 
 def balanced_class_weights(labels: np.ndarray, num_classes: int) -> np.ndarray:
     """n_samples / (n_classes * bincount); classes absent from `labels` get
-    weight 0 (they cannot occur in the loss anyway)."""
+    weight 0 (they cannot occur in the loss anyway). Counting runs through
+    the native host data-plane (data/native.py, numpy-identical fallback)."""
+    from vit2spn_tpu.data import native
+
     labels = np.asarray(labels).reshape(-1)
-    counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
+    counts = native.bincount(labels, num_classes).astype(np.float64)
     weights = np.zeros(num_classes)
     present = counts > 0
     weights[present] = len(labels) / (present.sum() * counts[present])

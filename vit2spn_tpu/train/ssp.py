@@ -77,13 +77,41 @@ class SSPTrainer:
         self.dist_mode = dist_mode
         self.policy = DTypePolicy.from_str(cfg.compute_dtype)
         self.mesh = mesh if mesh is not None else make_mesh(
-            model_parallel=cfg.mesh.model_parallel
+            model_parallel=cfg.mesh.model_parallel,
+            data_axis=cfg.mesh.data_axis,
+            model_axis=cfg.mesh.model_axis,
+        )
+        # honor a renamed data axis (cfg or an externally-built mesh)
+        self._data_axis = (
+            cfg.mesh.data_axis
+            if cfg.mesh.data_axis in self.mesh.axis_names
+            else self.mesh.axis_names[0]
         )
         self.logger = logger or MetricLogger(echo=True)
         if attn_impl is None:
             from vit2spn_tpu.ops.attention import default_model_impl
 
             attn_impl = default_model_impl()
+        # tensor parallelism: Megatron-style param sharding over the model
+        # axis (parallel/tp.py). The fused whole-block Pallas kernel is
+        # DP-only, so TP runs dispatch to the XLA attention path.
+        self._model_axis = (
+            cfg.mesh.model_axis
+            if cfg.mesh.model_axis in self.mesh.axis_names
+            else None
+        )
+        self._tp = self.mesh.shape[self._model_axis] if self._model_axis else 1
+        if self._tp > 1 and attn_impl == "fused":
+            attn_impl = None
+            self.logger.log(
+                "info",
+                message="tensor parallel > 1: using XLA attention "
+                "(fused block kernel is DP-only)",
+            )
+        if self._tp > 1 and dist_mode == "shard_map":
+            raise NotImplementedError(
+                "shard_map dist_mode is DP-only; use gspmd with model_parallel>1"
+            )
         self.attn_impl = attn_impl
         # Adam over trainable params only (targets are frozen; torch's
         # optimizer sees them but never receives grads, ssp_vit2spn_tiny.py:173)
@@ -97,7 +125,15 @@ class SSPTrainer:
         state = SSPTrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
         self._rep = replicated_sharding(self.mesh)
-        self.state = jax.device_put(state, self._rep)
+        if self._tp > 1:
+            from vit2spn_tpu.parallel.tp import tp_state_shardings
+
+            self._state_sharding = tp_state_shardings(
+                self.mesh, state, self._model_axis
+            )
+        else:
+            self._state_sharding = self._rep
+        self.state = jax.device_put(state, self._state_sharding)
         self._device_images = None
         self._step_fn, self._step_idx_fn, self._run_steps_fn = self._build_step()
 
@@ -224,7 +260,7 @@ class SSPTrainer:
                 )
 
             reduced = shard_map_dp_step(
-                local_grads, self.mesh, self.cfg.mesh.data_axis
+                local_grads, self.mesh, self._data_axis
             )
 
             def step(state, batch_u8, step_key):  # noqa: F811
@@ -242,11 +278,12 @@ class SSPTrainer:
                     metrics,
                 )
 
-        data_shard = batch_sharding(self.mesh, 4)
+        data_shard = batch_sharding(self.mesh, 4, self._data_axis)
+        st_shard = self._state_sharding
         step_jit = jax.jit(
             step,
-            in_shardings=(self._rep, data_shard, self._rep),
-            out_shardings=(self._rep, self._rep),
+            in_shardings=(st_shard, data_shard, self._rep),
+            out_shardings=(st_shard, self._rep),
             donate_argnums=(0,),
         )
 
@@ -254,11 +291,11 @@ class SSPTrainer:
             batch = jnp.take(images, idx, axis=0)
             return step(state, batch, step_key)
 
-        idx_shard = batch_sharding(self.mesh, 1)
+        idx_shard = batch_sharding(self.mesh, 1, self._data_axis)
         step_idx_jit = jax.jit(
             step_by_index,
-            in_shardings=(self._rep, self._rep, idx_shard, self._rep),
-            out_shardings=(self._rep, self._rep),
+            in_shardings=(st_shard, self._rep, idx_shard, self._rep),
+            out_shardings=(st_shard, self._rep),
             donate_argnums=(0,),
         )
 
@@ -274,12 +311,12 @@ class SSPTrainer:
             return jax.lax.scan(body, state, (idx_mat, keys))
 
         idx2_shard = NamedSharding(
-            self.mesh, PartitionSpec(None, self.mesh.axis_names[0])
+            self.mesh, PartitionSpec(None, self._data_axis)
         )
         run_steps_jit = jax.jit(
             run_steps,
-            in_shardings=(self._rep, self._rep, idx2_shard, self._rep),
-            out_shardings=(self._rep, self._rep),
+            in_shardings=(st_shard, self._rep, idx2_shard, self._rep),
+            out_shardings=(st_shard, self._rep),
             donate_argnums=(0,),
         )
         return step_jit, step_idx_jit, run_steps_jit
@@ -290,7 +327,9 @@ class SSPTrainer:
         {"loss", "pred_std"}. Callers must not fetch them per step (that
         serializes host and device; fetch once per epoch — the async
         dispatch queue then hides all host work behind device compute)."""
-        batch = jax.device_put(jnp.asarray(batch_u8), batch_sharding(self.mesh, 4))
+        batch = jax.device_put(
+            jnp.asarray(batch_u8), batch_sharding(self.mesh, 4, self._data_axis)
+        )
         self.state, metrics = self._step_fn(self.state, batch, step_key)
         return metrics
 
@@ -299,7 +338,8 @@ class SSPTrainer:
         index vector crosses the host->device boundary."""
         assert self._device_images is not None, "call attach_dataset first"
         idx_dev = jax.device_put(
-            jnp.asarray(idx, jnp.int32), batch_sharding(self.mesh, 1)
+            jnp.asarray(idx, jnp.int32),
+            batch_sharding(self.mesh, 1, self._data_axis),
         )
         self.state, metrics = self._step_idx_fn(
             self.state, self._device_images, idx_dev, step_key
@@ -312,7 +352,7 @@ class SSPTrainer:
         assert self._device_images is not None, "call attach_dataset first"
         idx_dev = jax.device_put(
             jnp.asarray(idx_mat, jnp.int32),
-            NamedSharding(self.mesh, PartitionSpec(None, self.mesh.axis_names[0])),
+            NamedSharding(self.mesh, PartitionSpec(None, self._data_axis)),
         )
         self.state, metrics = self._run_steps_fn(
             self.state, self._device_images, idx_dev, keys
@@ -339,12 +379,14 @@ class SSPTrainer:
         if checkpoint_path and ckpt.exists(checkpoint_path):
             meta = ckpt.metadata(checkpoint_path)
             self.state = jax.device_put(
-                ckpt.restore(checkpoint_path, self.state), self._rep
+                ckpt.restore(checkpoint_path, self.state), self._state_sharding
             )
             start_epoch = int(meta.get("epoch", 0))
             self.logger.log(
                 "resume", epoch=start_epoch, loss=meta.get("loss", float("nan"))
             )
+
+        from vit2spn_tpu.data import native
 
         key = rngmod.root_key(cfg.seed)
         on_device = self._device_images is not None or self.attach_dataset(
@@ -352,7 +394,13 @@ class SSPTrainer:
         )
         history = []
         for epoch in range(start_epoch, epochs):
-            perm = np.random.default_rng(cfg.seed + epoch).permutation(n)
+            # Native host data-plane (data/native.py): seeded Fisher-Yates
+            # permutation + threaded batch gather. Epoch order is
+            # deterministic given the seed; the numpy fallback draws a
+            # different (equally uniform) order — sample order is not part
+            # of the published protocol (the reference's comes from torch's
+            # RandomSampler, which matches neither).
+            perm = native.shuffled_indices(n, cfg.seed + epoch)
             t0 = time.perf_counter()
             if on_device:
                 idx_mat = perm[: spe * eff].reshape(spe, eff)
@@ -361,11 +409,14 @@ class SSPTrainer:
                 )(jnp.arange(spe))
                 metrics = self.train_epoch(idx_mat, keys)
             else:
+                # dataset too large for HBM staging: batches are assembled on
+                # host by the threaded native gather and shipped per step
                 steps = []
                 for s in range(spe):
                     idx = perm[s * eff : (s + 1) * eff]
                     step_key = rngmod.fold(key, epoch, s)
-                    steps.append(self.train_step(dataset.images[idx], step_key))
+                    batch = native.gather_batch(dataset.images, idx)
+                    steps.append(self.train_step(batch, step_key))
                 metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *steps)
             # the epoch's only host sync
             avg = float(jnp.mean(metrics["loss"]))
@@ -390,17 +441,26 @@ class SSPTrainer:
         return history
 
     def extract_features(
-        self, dataset: Dataset, batch_size: int = 256, augment: bool = False
+        self,
+        dataset: Dataset,
+        batch_size: int = 256,
+        augment: bool = False,
+        features: str = "pred",
     ):
-        """Online-network fused features for downstream probing
-        (extract_online_features, dsn_ssn/ssp_single.py:140-156).
+        """Online-network features for downstream probing.
 
-        Returns (features (N, n_streams*D) fp32, labels (N,)). Deterministic
-        resize views by default; `augment=True` reproduces the reference's
-        augmented-view extraction."""
+        Parity target: `extract_online_features` (dsn_ssn/ssp_single.py:
+        140-156) collects `model(view1, view2)[0]` in eval mode — the online
+        PREDICTION-head output (B, proj_dim=128). `features="pred"` (default)
+        reproduces exactly that. `features="backbone"` returns the
+        concatenated raw backbone features (B, n_streams*D) instead — a
+        framework extension for linear probing, NOT reference parity.
+
+        Returns (features fp32, labels). Deterministic resize views by
+        default; `augment=True` reproduces the reference's augmented
+        dual-view loader."""
         import dataclasses as _dc
 
-        from vit2spn_tpu.data.augment import dual_view_batch
         from vit2spn_tpu.models.ssp import _batched_features
 
         cfg, policy = self.cfg, self.policy
@@ -409,11 +469,18 @@ class SSPTrainer:
         )
 
         @jax.jit
-        def feats_fn(online, batch_u8, key):
+        def feats_fn(params, batch_u8, key):
             v1, v2 = dual_view_batch(key, batch_u8, aug_cfg,
                                      out_dtype=policy.compute_dtype)
+            if features == "pred":
+                pred, _ = dual_stream_forward(
+                    params, v1, v2, cfg, policy, train=False,
+                    attn_impl=self.attn_impl,
+                )
+                return pred
             views = jnp.stack([v1, v2]) if cfg.dual_stream else v1[None]
-            f = _batched_features(online, views, cfg, policy, self.attn_impl)
+            f = _batched_features(params.online, views, cfg, policy,
+                                  self.attn_impl)
             return f.transpose(1, 0, 2).reshape(batch_u8.shape[0], -1)
 
         feats = []
@@ -424,7 +491,7 @@ class SSPTrainer:
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
             key = rngmod.fold(rngmod.root_key(cfg.seed), 31337, s)
-            out = feats_fn(self.state.params.online, jnp.asarray(chunk), key)
+            out = feats_fn(self.state.params, jnp.asarray(chunk), key)
             feats.append(np.asarray(out)[: batch_size - pad or batch_size])
         return np.concatenate(feats)[:n], np.asarray(dataset.labels)
 
