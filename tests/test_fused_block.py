@@ -85,3 +85,60 @@ def test_fused_block_generalizes_to_vit_small_dims():
     ref = _block(cfg, "xla", x, lp)
     out = fused_block(x, _as_tuple(lp), cfg.num_heads, cfg.layernorm_eps, 2, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+
+def _stack_weights(key, layers=3):
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                    num_layers=layers, num_heads=2, mlp_dim=128)
+    params = init_vit(key, cfg)
+    blocks = params["blocks"]
+    k1, k2 = jax.random.split(key)
+    blocks["ln1_scale"] = 1.0 + 0.1 * jax.random.normal(
+        k1, blocks["ln1_scale"].shape
+    )
+    blocks["ln2_bias"] = 0.1 * jax.random.normal(k2, blocks["ln2_bias"].shape)
+    return cfg, blocks
+
+
+def test_backbone_forward_matches_per_layer(setup):
+    """Whole-backbone single-grid kernel == per-layer scan of XLA blocks."""
+    from vit2spn_tpu.ops.fused_block import fused_backbone
+
+    cfg, blocks = _stack_weights(jax.random.key(5))
+    x = jax.random.normal(jax.random.key(6), (4, cfg.seq_len, cfg.hidden_size))
+    ref = x
+    for l in range(cfg.num_layers):
+        ref = _block(cfg, "xla", ref, jax.tree.map(lambda a: a[l], blocks))
+    wt = tuple(blocks[n] for n in WEIGHT_NAMES)
+    out = fused_backbone(x, wt, cfg.num_heads, cfg.layernorm_eps, 2, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+
+def test_backbone_grads_match_per_layer():
+    from vit2spn_tpu.ops.fused_block import fused_backbone
+
+    cfg, blocks = _stack_weights(jax.random.key(7), layers=2)
+    x = jax.random.normal(jax.random.key(8), (4, cfg.seq_len, cfg.hidden_size))
+    wt = tuple(blocks[n] for n in WEIGHT_NAMES)
+
+    def loss_ref(x, wt):
+        b = dict(zip(WEIGHT_NAMES, wt))
+        h = x
+        for l in range(cfg.num_layers):
+            h = _block(cfg, "xla", h, jax.tree.map(lambda a: a[l], b))
+        return jnp.sum(jnp.sin(h))
+
+    def loss_fused(x, wt):
+        return jnp.sum(jnp.sin(
+            fused_backbone(x, wt, cfg.num_heads, cfg.layernorm_eps, 2, True)
+        ))
+
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wt)
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, wt)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=5e-4, rtol=1e-3)
+    for name, a, b in zip(WEIGHT_NAMES, gw_f, gw_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3,
+            err_msg=f"stacked grad mismatch for {name}",
+        )

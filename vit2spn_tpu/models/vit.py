@@ -156,8 +156,33 @@ def vit_forward(
     seq = seq + params["pos_embed"].astype(policy.compute_dtype)
 
     if attn_impl == "fused":
-        # whole-block fused Pallas kernel (TPU only): LN params stay fp32,
-        # matmul weights in compute dtype (ops/fused_block.py)
+        # whole-BACKBONE fused Pallas kernel (TPU only): all layers in one
+        # grid with the activation tile persistent in VMEM and per-layer
+        # weights streamed — one launch per forward instead of one per layer
+        # (ops/fused_block.py::fused_backbone). LN params stay fp32, matmul
+        # weights in compute dtype.
+        from vit2spn_tpu.ops.fused_block import WEIGHT_NAMES, fused_backbone
+
+        wt = tuple(
+            params["blocks"][n].astype(
+                jnp.float32 if n.startswith("ln") else policy.compute_dtype
+            )
+            for n in WEIGHT_NAMES
+        )
+        # fwd tile 8 / per-layer bwd tile 4 — the measured optimum on v5e
+        # (tile 16 fwd exceeds the 16 MB scoped-VMEM budget; see
+        # ops/fused_block.py for the other measured dead ends)
+        pre_ln = fused_backbone(seq, wt, cfg.num_heads, cfg.layernorm_eps)
+        last_hidden = _layernorm(
+            pre_ln,
+            params["final_ln"]["scale"],
+            params["final_ln"]["bias"],
+            cfg.layernorm_eps,
+        )
+        return {"pre_ln": pre_ln, "last_hidden_state": last_hidden}
+    if attn_impl == "fused_layer":
+        # per-layer fused kernel under lax.scan (the round-1 formulation;
+        # kept selectable for A/B)
         from vit2spn_tpu.ops.fused_block import WEIGHT_NAMES, fused_block
 
         def body(carry, layer_params):

@@ -234,17 +234,11 @@ def _accumulate_dw(names, dw_refs, partials):
             r[...] += val
 
 
-def _mlp_bwd_kernel(x2_ref, dout_ref, *refs, bt, sp, d, eps):
-    """Recompute LN2/MLP from x2; emit dx2 and MLP/LN2 weight grads."""
-    names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
-    w_refs = refs[: len(names)]
-    dx2_ref = refs[len(names)]
-    dw_refs = refs[len(names) + 1:]
-    dtype = x2_ref.dtype
-    w = {n: r[...] for n, r in zip(names, w_refs)}
-    x2 = x2_ref[...].reshape(bt * sp, d).astype(jnp.float32)
-    dout = dout_ref[...].reshape(bt * sp, d).astype(jnp.float32)
-
+def _mlp_bwd_math(x2, dout, w, dtype, eps):
+    """LN2/MLP recompute-backward; x2/dout in compute dtype (fp32 copies of
+    the full (N, D) tiles are what pushed the monolithic kernel 240 KB over
+    the 16 MB VMEM budget at tile 4 — fp32 stays transient in reductions).
+    Returns (dx2 fp32, {mlp/ln2 grad partials})."""
     y2f, xhat2, rstd2 = _ln_fwd(x2, w["ln2_scale"], w["ln2_bias"], eps)
     y2 = y2f.astype(dtype)
     # m1 stored in compute dtype: the fp32 (rows, mlp_dim) buffer is what
@@ -262,7 +256,7 @@ def _mlp_bwd_kernel(x2_ref, dout_ref, *refs, bt, sp, d, eps):
         g, doutdt, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    db2 = jnp.sum(dout, axis=0)
+    db2 = jnp.sum(dout.astype(jnp.float32), axis=0)
     dg = jax.lax.dot_general(  # dout @ W2^T
         doutdt, w["w2"], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -278,11 +272,23 @@ def _mlp_bwd_kernel(x2_ref, dout_ref, *refs, bt, sp, d, eps):
         preferred_element_type=jnp.float32,
     )
     dx2_ln, dln2_s, dln2_b = _ln_bwd(dy2, xhat2, rstd2, w["ln2_scale"])
-    dx2 = dout + dx2_ln  # residual: out = x2 + mlp(...)
+    dx2 = dout.astype(jnp.float32) + dx2_ln  # residual: out = x2 + mlp(...)
+    return dx2, dict(ln2_scale=dln2_s, ln2_bias=dln2_b,
+                     w1=dw1, b1=db1, w2=dw2, b2=db2)
 
+
+def _mlp_bwd_kernel(x2_ref, dout_ref, *refs, bt, sp, d, eps):
+    """Recompute LN2/MLP from x2; emit dx2 and MLP/LN2 weight grads."""
+    names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
+    w_refs = refs[: len(names)]
+    dx2_ref = refs[len(names)]
+    dw_refs = refs[len(names) + 1:]
+    dtype = x2_ref.dtype
+    w = {n: r[...] for n, r in zip(names, w_refs)}
+    x2 = x2_ref[...].reshape(bt * sp, d)
+    dout = dout_ref[...].reshape(bt * sp, d)
+    dx2, partials = _mlp_bwd_math(x2, dout, w, dtype, eps)
     dx2_ref[...] = dx2.astype(dtype).reshape(bt, sp, d)
-    partials = dict(ln2_scale=dln2_s, ln2_bias=dln2_b,
-                    w1=dw1, b1=db1, w2=dw2, b2=db2)
     _accumulate_dw(names, dw_refs, partials)
 
 
@@ -297,9 +303,17 @@ def _attn_bwd_kernel(x_ref, dx2_ref, *refs, bt, sp, d, heads, seq_len, eps):
     w = {n: r[...] for n, r in zip(names, w_refs)}
     x2d = x_ref[...].reshape(bt * sp, d)
     # dx2 stays in compute dtype; fp32 only in reductions/accumulators
-    # (frees ~0.6 MB -> attention backward fits VMEM at tile 8)
     dx2 = dx2_ref[...].reshape(bt * sp, d)
+    dx, partials = _attn_bwd_math(x2d, dx2, w, bt, sp, d, heads, seq_len,
+                                  eps, dtype)
+    dx_ref[...] = dx.astype(dtype).reshape(bt, sp, d)
+    _accumulate_dw(names, dw_refs, partials)
 
+
+def _attn_bwd_math(x2d, dx2, w, bt, sp, d, heads, seq_len, eps, dtype):
+    """LN1/QKV/attention recompute-backward. x2d: (N, D) layer input and
+    dx2: (N, D) incoming grad, both compute dtype.
+    Returns (dx fp32, {attn/ln1 grad partials})."""
     y1f, xhat1, rstd1 = _ln_fwd(x2d, w["ln1_scale"], w["ln1_bias"], eps)
     qkv = jnp.dot(y1f.astype(dtype), w["wqkv"],
                   preferred_element_type=jnp.float32)
@@ -317,7 +331,7 @@ def _attn_bwd_kernel(x_ref, dx2_ref, *refs, bt, sp, d, heads, seq_len, eps):
     ).astype(dtype)
     dqkv = _attention_bwd(qkv, datt, bt, sp, d, heads, seq_len, dtype)
     # recompute y1 here (one cheap LN pass) instead of holding it live
-    # across the attention backward — frees 640 KB of VMEM at tile 8
+    # across the attention backward
     y1 = (xhat1 * w["ln1_scale"] + w["ln1_bias"]).astype(dtype)
     dwqkv = jax.lax.dot_general(  # y1^T dqkv
         y1, dqkv, (((0,), (0,)), ((), ())),
@@ -330,11 +344,8 @@ def _attn_bwd_kernel(x_ref, dx2_ref, *refs, bt, sp, d, heads, seq_len, eps):
     )
     dx_ln, dln1_s, dln1_b = _ln_bwd(dy1, xhat1, rstd1, w["ln1_scale"])
     dx = dx2.astype(jnp.float32) + dx_ln  # residual: x2 = x + attn(...)
-
-    dx_ref[...] = dx.astype(dtype).reshape(bt, sp, d)
-    partials = dict(ln1_scale=dln1_s, ln1_bias=dln1_b, wqkv=dwqkv,
+    return dx, dict(ln1_scale=dln1_s, ln1_bias=dln1_b, wqkv=dwqkv,
                     bqkv=dbqkv, wo=dwo, bo=dbo)
-    _accumulate_dw(names, dw_refs, partials)
 
 
 def _round_up(x, m):
@@ -416,15 +427,13 @@ def _fused_fwd(x, weights, heads, eps, block_images, interpret):
     return out, (x, x2, weights)
 
 
-def _fused_bwd(heads, eps, block_images, interpret, res, g):
-    x, x2p, weights = res  # x2p is already seq-padded
-    b, s, d = x.shape
-    sp = _round_up(s, 16)
-    xp = _pad_seq(x, sp)
-    gp = _pad_seq(g.astype(x.dtype), sp)
-    orig_weights = weights
-    weights = _prep_weights(weights)
-    wdict = dict(zip(WEIGHT_NAMES, weights))
+def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret):
+    """Backward of ONE block on seq-PADDED tensors.
+
+    Returns (dxp (B, SP, D), {name: fp32 grad}). Shared by the per-layer
+    scan path (fused_block's vjp) and the whole-backbone vjp's reverse loop.
+    """
+    b, _, d = xp.shape
 
     def run(kernel, names, inputs, extra_kw, bt):
         n_tiles = b // bt
@@ -446,14 +455,15 @@ def _fused_bwd(heads, eps, block_images, interpret, res, g):
                 *[pl.BlockSpec(w.shape, functools.partial(_zero_idx, nd=w.ndim),
                                memory_space=pltpu.VMEM) for w in ws],
             ],
-            out_shape=[jax.ShapeDtypeStruct((b, sp, d), x.dtype), *dw_shapes],
+            out_shape=[jax.ShapeDtypeStruct((b, sp, d), xp.dtype), *dw_shapes],
             interpret=interpret,
         )(*inputs, *ws)
         dgrads = {n: outs[1 + i] for i, n in enumerate(names)}
         return outs[0], dgrads
 
-    # per-kernel tiles: the MLP backward fits the full tile; the attention
-    # backward's recompute buffers need half (16 MB VMEM budget)
+    # per-kernel tiles: half the forward tile is the measured optimum on v5e
+    # (16 MB VMEM budget; see _attention_bwd docstring history in git for
+    # the tile-8/fori_loop dead ends)
     mlp_names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
     dx2, mlp_grads = run(_mlp_bwd_kernel, mlp_names, (x2p, gp), {},
                          bt=_tile_for(b, max(block_images // 2, 1)))
@@ -466,13 +476,161 @@ def _fused_bwd(heads, eps, block_images, interpret, res, g):
         {"heads": heads, "seq_len": s},
         bt=_tile_for(b, max(block_images // 2, 1)),
     )
+    return dxp, {**mlp_grads, **attn_grads}
 
-    all_grads = {**mlp_grads, **attn_grads}
+
+def _fused_bwd(heads, eps, block_images, interpret, res, g):
+    x, x2p, weights = res  # x2p is already seq-padded
+    b, s, d = x.shape
+    sp = _round_up(s, 16)
+    xp = _pad_seq(x, sp)
+    gp = _pad_seq(g.astype(x.dtype), sp)
+    wdict = dict(zip(WEIGHT_NAMES, _prep_weights(weights)))
+    dxp, all_grads = _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps,
+                                block_images, interpret)
     dweights = tuple(
         all_grads[n].astype(w.dtype).reshape(w.shape)
-        for n, w in zip(WEIGHT_NAMES, orig_weights)
+        for n, w in zip(WEIGHT_NAMES, weights)
     )
     return dxp[:, :s, :], dweights
 
 
 fused_block.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-backbone forward: ALL layers in ONE pallas grid
+# ---------------------------------------------------------------------------
+
+def _layer_block_idx(t, l, nd):
+    return (l,) + (0,) * nd
+
+
+def _backbone_fwd_kernel(x_ref, *refs, bt, sp, d, heads, seq_len, eps,
+                         emit_res):
+    """Grid (tile, layer), layer fastest: the activation tile is PERSISTENT
+    in VMEM (carried in out_ref across the layer dimension) while each
+    layer's weights stream in as (1, ...) blocks of the stacked arrays —
+    one kernel launch per (net, microbatch) instead of one per layer.
+
+    With emit_res, each layer also writes its input (xs) and mid-residual
+    (x2s) tiles for the split recompute-backward."""
+    w_refs = refs[: len(WEIGHT_NAMES)]
+    out_ref = refs[len(WEIGHT_NAMES)]
+    if emit_res:
+        xs_ref, x2s_ref = refs[len(WEIGHT_NAMES) + 1: len(WEIGHT_NAMES) + 3]
+    l = pl.program_id(1)
+    dtype = x_ref.dtype
+
+    @pl.when(l == 0)
+    def _init():
+        out_ref[...] = x_ref[...]
+
+    x2d = out_ref[...].reshape(bt * sp, d)
+    w = {}
+    for name, r in zip(WEIGHT_NAMES, w_refs):
+        v = r[...]
+        # (1, a, b) layer block -> (a, b); (1, n) stays broadcastable
+        w[name] = v.reshape(v.shape[1:]) if v.ndim == 3 else v
+    if emit_res:
+        xs_ref[...] = x2d.reshape(1, bt, sp, d)
+    res = _block_fwd_math(x2d, w, bt, sp, d, heads, seq_len, eps, dtype)
+    if emit_res:
+        x2s_ref[...] = res["x2"].astype(dtype).reshape(1, bt, sp, d)
+    out_ref[...] = res["out"].astype(dtype).reshape(bt, sp, d)
+
+
+def _backbone_fwd_impl(x, weights, heads, eps, block_images, interpret,
+                       emit_res):
+    """weights: tuple of STACKED arrays in WEIGHT_NAMES order, each with a
+    leading layer axis ((L, d, 3d) matmuls, (L, n) vectors)."""
+    b, s, d = x.shape
+    layers = weights[0].shape[0]
+    sp = _round_up(s, 16)
+    bt = _tile_for(b, block_images)
+    xp = _pad_seq(x, sp)
+    # stacked per-layer vectors (L, n) -> (L, 1, n): Mosaic requires the last
+    # two BLOCK dims be (8,128)-aligned or equal to the array dims, so the
+    # layer axis must not be one of them
+    weights = tuple(w[:, None, :] if w.ndim == 2 else w for w in weights)
+    kern = functools.partial(
+        _backbone_fwd_kernel, bt=bt, sp=sp, d=d, heads=heads, seq_len=s,
+        eps=eps, emit_res=emit_res,
+    )
+    tile_spec = pl.BlockSpec((bt, sp, d), lambda t, l: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    w_specs = [
+        pl.BlockSpec((1,) + w.shape[1:],
+                     functools.partial(_layer_block_idx, nd=w.ndim - 1),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out_specs = [tile_spec]
+    out_shape = [jax.ShapeDtypeStruct((b, sp, d), x.dtype)]
+    if emit_res:
+        res_spec = pl.BlockSpec((1, bt, sp, d), lambda t, l: (l, t, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs += [res_spec, res_spec]
+        out_shape += [jax.ShapeDtypeStruct((layers, b, sp, d), x.dtype)] * 2
+    outs = pl.pallas_call(
+        kern,
+        grid=(b // bt, layers),  # layer dim iterates fastest
+        in_specs=[tile_spec, *w_specs],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xp, *weights)
+    return tuple(outs)  # pallas_call returns a list for list out_shape
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_backbone(x, weights: Tuple, heads: int, eps: float,
+                   block_images: int = 8, interpret: bool = False,
+                   bwd_block_images: int = 8):
+    """Run the full transformer stack over x: (B, S, D).
+
+    weights: tuple of stacked per-layer arrays in WEIGHT_NAMES order (LN
+    params fp32, matmul weights in x.dtype). The primal emits NO residuals
+    (the inference/EMA-target path pays no extra HBM writes); under grad the
+    vjp-forward re-runs with xs/x2s residual stacks enabled."""
+    (out,) = _backbone_fwd_impl(x, weights, heads, eps, block_images,
+                                interpret, emit_res=False)
+    return out[:, : x.shape[1], :]
+
+
+def _backbone_vjp_fwd(x, weights, heads, eps, block_images, interpret,
+                      bwd_block_images):
+    out, xs, x2s = _backbone_fwd_impl(x, weights, heads, eps, block_images,
+                                      interpret, emit_res=True)
+    return out[:, : x.shape[1], :], (xs, x2s, weights, x.shape[1])
+
+
+def _backbone_vjp_bwd(heads, eps, block_images, interpret, bwd_block_images,
+                      res, g):
+    """Reverse python loop over layers calling the split per-layer bwd
+    kernels — the measured optimum. Dead ends (measured on v5e, whole-step):
+    (a) a single whole-backbone bwd grid carrying the running grad through an
+    input/output-aliased buffer is UNSOUND — input prefetch is not ordered
+    against aliased output writes (wrong results on interpret; would race on
+    TPU); (b) a monolithic per-layer kernel (MLP-bwd + attn-bwd in one body,
+    dx2 never leaving VMEM) OOMs at tile 4 (16.23M/16M) and reaches only
+    2783 img/s/chip at tile 2 vs 2854 for the split tile-4 form."""
+    xs, x2s, weights, s = res  # xs/x2s: (L, B, SP, D), seq-padded
+    layers, b, sp, d = xs.shape
+    gp = _pad_seq(g.astype(xs.dtype), sp)
+    dws = {n: [] for n in WEIGHT_NAMES}
+    for l in reversed(range(layers)):
+        wl = _prep_weights(tuple(w[l] for w in weights))
+        gp, dw_l = _layer_bwd(xs[l], x2s[l], gp,
+                              dict(zip(WEIGHT_NAMES, wl)),
+                              heads, s, sp, eps, bwd_block_images, interpret)
+        for n in WEIGHT_NAMES:
+            dws[n].append(dw_l[n])
+    dweights = tuple(
+        jnp.stack(dws[n][::-1]).astype(w.dtype).reshape(w.shape)
+        for n, w in zip(WEIGHT_NAMES, weights)
+    )
+    return gp[:, :s, :], dweights
+
+
+fused_backbone.defvjp(_backbone_vjp_fwd, _backbone_vjp_bwd)
