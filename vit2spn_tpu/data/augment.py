@@ -282,7 +282,14 @@ def _random_erasing_batch(key, imgs: jax.Array, cfg: AugmentConfig):
 # full pipeline
 # --------------------------------------------------------------------------
 
-def _augment_batch_impl(key, images_u8, cfg: AugmentConfig, out_dtype):
+def _augment_batch_impl(key, images_u8, cfg: AugmentConfig, out_dtype,
+                        fold_normalize=False):
+    """With `fold_normalize`, return the PRE-normalize single-channel stack
+    (B, out, out) instead of the normalized 3-channel tensor: every dataset
+    here is grayscale replicated to RGB, and the patch embedding is linear,
+    so channel replication + per-channel normalization fold exactly into the
+    patch-embed weights (models/vit.py::fold_patch_embed_gray) — the
+    (B, 224, 224, 3) materialization drops out of the hot loop."""
     b = images_u8.shape[0]
     gray = _to_gray(images_u8)  # (B, H, W) f32
 
@@ -291,6 +298,8 @@ def _augment_batch_impl(key, images_u8, cfg: AugmentConfig, out_dtype):
 
     if not cfg.enabled:
         out = _separable_resize(gray, cfg.out_size)
+        if fold_normalize:
+            return out.astype(out_dtype)
         out3 = (out[..., None] - mean) / std
         return out3.astype(out_dtype)
 
@@ -307,31 +316,41 @@ def _augment_batch_impl(key, images_u8, cfg: AugmentConfig, out_dtype):
     out = _color_jitter_gray_batch(kj, out, cfg)
     out = _gaussian_blur3_batch(kb, out, cfg)
     out = _random_erasing_batch(ke, out, cfg)
+    if fold_normalize:
+        return out.astype(out_dtype)
     out3 = (out[..., None].astype(jnp.float32) - mean) / std
     return out3.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "out_dtype", "fold_normalize")
+)
 def augment_batch(
     key: jax.Array,
     images: jax.Array,  # uint8 (B, H, W, C)
     cfg: AugmentConfig,
     out_dtype=jnp.float32,
+    fold_normalize: bool = False,
 ) -> jax.Array:
-    """uint8 (B, H, W, C in {1,3}) -> normalized (B, out, out, 3)."""
-    return _augment_batch_impl(key, images, cfg, out_dtype)
+    """uint8 (B, H, W, C in {1,3}) -> normalized (B, out, out, 3), or the
+    pre-normalize grayscale (B, out, out) with `fold_normalize` (pair with
+    `norm_fold` on the model forward)."""
+    return _augment_batch_impl(key, images, cfg, out_dtype, fold_normalize)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "out_dtype", "fold_normalize")
+)
 def dual_view_batch(
     key: jax.Array,
     images: jax.Array,
     cfg: AugmentConfig,
     out_dtype=jnp.float32,
+    fold_normalize: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two independent augmentation draws per image
     (DualViewTransform, ssp_vit2spn_tiny.py:75-82)."""
     k1, k2 = jax.random.split(key)
-    v1 = _augment_batch_impl(k1, images, cfg, out_dtype)
-    v2 = _augment_batch_impl(k2, images, cfg, out_dtype)
+    v1 = _augment_batch_impl(k1, images, cfg, out_dtype, fold_normalize)
+    v2 = _augment_batch_impl(k2, images, cfg, out_dtype, fold_normalize)
     return v1, v2

@@ -97,8 +97,10 @@ def backbone_slice(stacked: dict, i: int = 0) -> dict:
     return jax.tree.map(lambda a: a[i], stacked)
 
 
-def _batched_features(stacked_params, views, cfg, policy, attn_impl):
-    """views: (n, B, H, W, C) through n stacked nets -> (n, B, D).
+def _batched_features(stacked_params, views, cfg, policy, attn_impl,
+                      norm_fold=None):
+    """views: (n, B, H, W, C) — or (n, B, H, W) grayscale with norm_fold —
+    through n stacked nets -> (n, B, D).
 
     Runs the n nets as separate forwards over sliced params rather than one
     vmapped batch-n forward: measured on v5e, batch-2 GEMMs run ~8% slower
@@ -107,7 +109,7 @@ def _batched_features(stacked_params, views, cfg, policy, attn_impl):
     n = views.shape[0]
     feats = [
         vit_features(backbone_slice(stacked_params, i), views[i], cfg.vit,
-                     policy, attn_impl)
+                     policy, attn_impl, norm_fold=norm_fold)
         for i in range(n)
     ]
     return jnp.stack(feats)
@@ -122,9 +124,12 @@ def dual_stream_forward(
     key: Optional[jax.Array] = None,
     train: bool = False,
     attn_impl: Optional[str] = None,
+    norm_fold=None,
 ):
     """Returns (online_pred (B,128), target_proj (B,128)) — the exact tensors
-    whose negative mean cosine similarity is the SSP loss."""
+    whose negative mean cosine similarity is the SSP loss. Views may be raw
+    grayscale (B, H, W) when norm_fold=(mean, std) is given (the normalize
+    folds into the patch embed, models/vit.py::fold_patch_embed_gray)."""
     dtype = policy.compute_dtype
     b = view1.shape[0]
 
@@ -137,9 +142,12 @@ def dual_stream_forward(
         views_online = view1[None]
         views_target = view2[None]
 
-    f_online = _batched_features(params.online, views_online, cfg, policy, attn_impl)
+    f_online = _batched_features(
+        params.online, views_online, cfg, policy, attn_impl, norm_fold
+    )
     f_target = _batched_features(
-        jax.lax.stop_gradient(params.target), views_target, cfg, policy, attn_impl
+        jax.lax.stop_gradient(params.target), views_target, cfg, policy,
+        attn_impl, norm_fold,
     )
     # concat over streams == (n, B, D) -> (B, n*D)
     online_fused = f_online.transpose(1, 0, 2).reshape(b, -1)

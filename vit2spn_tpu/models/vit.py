@@ -105,6 +105,41 @@ def patchify(x: jax.Array, patch: int) -> jax.Array:
     return x.reshape(b, gh * gw, patch * patch * c)
 
 
+def patchify_gray(x: jax.Array, patch: int) -> jax.Array:
+    """(B, H, W) single-channel -> (B, N, patch*patch), flatten order (ph, pw)."""
+    b, h, w = x.shape
+    gh, gw = h // patch, w // patch
+    x = x.reshape(b, gh, patch, gw, patch)
+    x = x.transpose(0, 1, 3, 2, 4)  # (B, gh, gw, ph, pw)
+    return x.reshape(b, gh * gw, patch * patch)
+
+
+def fold_patch_embed_gray(patch_embed: dict, cfg: ViTConfig, norm_fold):
+    """Collapse grayscale->3ch replication + per-channel normalization into
+    the patch-embed weights (exact, by linearity):
+
+        token_j = sum_{p,c} W[p,c,j] * (g_p - m_c)/s_c + b_j
+                = sum_p (sum_c W[p,c,j]/s_c) * g_p
+                  + (b_j - sum_{p,c} W[p,c,j] * m_c/s_c)
+
+    so a (P*P, D) kernel over RAW grayscale patches replaces the (P*P*C, D)
+    kernel over normalized replicated-RGB patches. norm_fold: (mean, std)
+    per-channel tuples (the dataset Normalize stats, AugmentConfig). Returns
+    (kernel_gray (P*P, D) fp32, bias_gray (D,) fp32)."""
+    mean, std = norm_fold
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    pp = cfg.patch_size * cfg.patch_size
+    w = patch_embed["kernel"].astype(jnp.float32).reshape(
+        pp, cfg.num_channels, -1
+    )  # flatten order (ph, pw, c) matches patchify
+    kernel_g = jnp.einsum("pcd,c->pd", w, 1.0 / std)
+    bias_g = patch_embed["bias"].astype(jnp.float32) - jnp.einsum(
+        "pcd,c->d", w, mean / std
+    )
+    return kernel_g, bias_g
+
+
 def _block(cfg: ViTConfig, attn_impl: Optional[str], x: jax.Array, p: dict) -> jax.Array:
     b, s, d = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
@@ -131,8 +166,12 @@ def vit_forward(
     policy: DTypePolicy = FP32,
     attn_impl: Optional[str] = None,
     remat: Optional[str] = None,
+    norm_fold=None,
 ) -> dict:
-    """Full forward. x: (B, H, W, C) float, already normalized.
+    """Full forward. x: (B, H, W, C) float, already normalized — OR, with
+    `norm_fold=(mean, std)`, a RAW grayscale (B, H, W) batch whose channel
+    replication + normalization are folded into the patch-embed weights
+    (fold_patch_embed_gray; exact up to float rounding).
 
     Returns {"pre_ln": (B, S, D), "last_hidden_state": (B, S, D)} where
     `pre_ln` matches HF `hidden_states[-1]` and `last_hidden_state` matches
@@ -144,9 +183,23 @@ def vit_forward(
     residual alone is ~1.8 GB at microbatch 256).
     """
     x = x.astype(policy.compute_dtype)
-    kernel = params["patch_embed"]["kernel"].astype(policy.compute_dtype)
-    bias = params["patch_embed"]["bias"].astype(policy.compute_dtype)
-    tokens = patchify(x, cfg.patch_size) @ kernel + bias  # (B, N, D)
+    if x.ndim == 3:
+        if norm_fold is None:
+            raise ValueError(
+                "grayscale (B, H, W) input requires norm_fold=(mean, std)"
+            )
+        kernel_g, bias_g = fold_patch_embed_gray(
+            params["patch_embed"], cfg, norm_fold
+        )
+        tokens = (
+            patchify_gray(x, cfg.patch_size)
+            @ kernel_g.astype(policy.compute_dtype)
+            + bias_g.astype(policy.compute_dtype)
+        )
+    else:
+        kernel = params["patch_embed"]["kernel"].astype(policy.compute_dtype)
+        bias = params["patch_embed"]["bias"].astype(policy.compute_dtype)
+        tokens = patchify(x, cfg.patch_size) @ kernel + bias  # (B, N, D)
 
     b = tokens.shape[0]
     cls = jnp.broadcast_to(
@@ -226,10 +279,11 @@ def vit_features(
     cfg: ViTConfig,
     policy: DTypePolicy = FP32,
     attn_impl: Optional[str] = None,
+    norm_fold=None,
 ) -> jax.Array:
     """Backbone feature: mean over all tokens of hidden_states[-1]
     (ssp_vit2spn_tiny.py:116-117). Returns (B, D) in fp32."""
-    out = vit_forward(params, x, cfg, policy, attn_impl)
+    out = vit_forward(params, x, cfg, policy, attn_impl, norm_fold=norm_fold)
     src = "last_hidden_state" if cfg.use_final_layernorm_features else "pre_ln"
     return jnp.mean(out[src].astype(jnp.float32), axis=1)
 

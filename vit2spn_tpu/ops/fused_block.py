@@ -32,6 +32,7 @@ Layout notes:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -310,6 +311,28 @@ def _attn_bwd_kernel(x_ref, dx2_ref, *refs, bt, sp, d, heads, seq_len, eps):
     _accumulate_dw(names, dw_refs, partials)
 
 
+def _merged_bwd_kernel(x_ref, x2_ref, dout_ref, *refs, bt, sp, d, heads,
+                       seq_len, eps):
+    """Whole-block backward in ONE body: MLP-bwd then attn-bwd with dx2
+    staying in VMEM (no HBM round trip between them, half the launches).
+    Needs ~16.2 MB scoped VMEM at tile 4 — run with an explicit
+    vmem_limit_bytes above Mosaic's 16 MB default."""
+    w_refs = refs[: len(WEIGHT_NAMES)]
+    dx_ref = refs[len(WEIGHT_NAMES)]
+    dw_refs = refs[len(WEIGHT_NAMES) + 1:]
+    dtype = x_ref.dtype
+    w = {n: r[...] for n, r in zip(WEIGHT_NAMES, w_refs)}
+    x2 = x2_ref[...].reshape(bt * sp, d)
+    dout = dout_ref[...].reshape(bt * sp, d)
+    dx2, mlp_partials = _mlp_bwd_math(x2, dout, w, dtype, eps)
+    x2d = x_ref[...].reshape(bt * sp, d)
+    # match the split path's numerics: dx2 crosses in compute dtype there
+    dx, attn_partials = _attn_bwd_math(x2d, dx2.astype(dtype), w, bt, sp, d,
+                                       heads, seq_len, eps, dtype)
+    dx_ref[...] = dx.astype(dtype).reshape(bt, sp, d)
+    _accumulate_dw(WEIGHT_NAMES, dw_refs, {**mlp_partials, **attn_partials})
+
+
 def _attn_bwd_math(x2d, dx2, w, bt, sp, d, heads, seq_len, eps, dtype):
     """LN1/QKV/attention recompute-backward. x2d: (N, D) layer input and
     dx2: (N, D) incoming grad, both compute dtype.
@@ -427,7 +450,8 @@ def _fused_fwd(x, weights, heads, eps, block_images, interpret):
     return out, (x, x2, weights)
 
 
-def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret):
+def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret,
+               merged=False):
     """Backward of ONE block on seq-PADDED tensors.
 
     Returns (dxp (B, SP, D), {name: fp32 grad}). Shared by the per-layer
@@ -435,18 +459,23 @@ def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret):
     """
     b, _, d = xp.shape
 
-    def run(kernel, names, inputs, extra_kw, bt):
+    def run(kernel, names, inputs, extra_kw, bt, vmem_limit=None):
         n_tiles = b // bt
         tile_spec = pl.BlockSpec((bt, sp, d), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         ws = [wdict[n] for n in names]
         kern = functools.partial(kernel, bt=bt, sp=sp, d=d, eps=eps, **extra_kw)
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+        kwargs = {}
+        if vmem_limit is not None:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit
+            )
         outs = pl.pallas_call(
             kern,
             grid=(n_tiles,),
             in_specs=[
-                tile_spec, tile_spec,
+                *([tile_spec] * len(inputs)),
                 *[pl.BlockSpec(w.shape, functools.partial(_zero_idx, nd=w.ndim),
                                memory_space=pltpu.VMEM) for w in ws],
             ],
@@ -457,24 +486,43 @@ def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret):
             ],
             out_shape=[jax.ShapeDtypeStruct((b, sp, d), xp.dtype), *dw_shapes],
             interpret=interpret,
+            **kwargs,
         )(*inputs, *ws)
         dgrads = {n: outs[1 + i] for i, n in enumerate(names)}
         return outs[0], dgrads
+
+    # experiment overrides (tools/bwd_sweep.py); defaults are the measured
+    # production optimum
+    bt_req = int(os.environ.get("VIT2SPN_BWD_TILE", "0")) or max(
+        block_images // 2, 1
+    )
+    bt = _tile_for(b, bt_req)
+    vmem_mb = int(os.environ.get("VIT2SPN_BWD_VMEM_MB", "0"))
+    vmem = vmem_mb * 1024 * 1024 if vmem_mb else None
+    if merged:
+        # one launch per layer, dx2 resident in VMEM; ~16.2 MB scoped VMEM
+        # at tile 4 so it needs the explicit budget above Mosaic's default.
+        # Measured on v5e: 2932.5 img/s/chip == the split form (a wash);
+        # kept selectable via VIT2SPN_MERGED_BWD=1.
+        return run(
+            _merged_bwd_kernel, WEIGHT_NAMES, (xp, x2p, gp),
+            {"heads": heads, "seq_len": s}, bt=bt,
+            vmem_limit=max(vmem or 0, 18 * 1024 * 1024),
+        )
 
     # per-kernel tiles: half the forward tile is the measured optimum on v5e
     # (16 MB VMEM budget; see _attention_bwd docstring history in git for
     # the tile-8/fori_loop dead ends)
     mlp_names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
-    dx2, mlp_grads = run(_mlp_bwd_kernel, mlp_names, (x2p, gp), {},
-                         bt=_tile_for(b, max(block_images // 2, 1)))
+    dx2, mlp_grads = run(_mlp_bwd_kernel, mlp_names, (x2p, gp), {}, bt=bt,
+                         vmem_limit=vmem)
 
     attn_names = ("ln1_scale", "ln1_bias", "wqkv", "bqkv", "wo", "bo")
     # Mosaic's scoped-VMEM reservation for the unrolled per-image attention
-    # loop caps this kernel at half tile regardless of buffer trims
+    # loop caps this kernel at half tile under the default 16 MB budget
     dxp, attn_grads = run(
         _attn_bwd_kernel, attn_names, (xp, dx2),
-        {"heads": heads, "seq_len": s},
-        bt=_tile_for(b, max(block_images // 2, 1)),
+        {"heads": heads, "seq_len": s}, bt=bt, vmem_limit=vmem,
     )
     return dxp, {**mlp_grads, **attn_grads}
 
@@ -547,6 +595,9 @@ def _backbone_fwd_impl(x, weights, heads, eps, block_images, interpret,
     b, s, d = x.shape
     layers = weights[0].shape[0]
     sp = _round_up(s, 16)
+    block_images = int(
+        os.environ.get("VIT2SPN_FWD_TILE", "0")
+    ) or block_images  # experiment override (tools/bwd_sweep.py)
     bt = _tile_for(b, block_images)
     xp = _pad_seq(x, sp)
     # stacked per-layer vectors (L, n) -> (L, 1, n): Mosaic requires the last
@@ -567,11 +618,24 @@ def _backbone_fwd_impl(x, weights, heads, eps, block_images, interpret,
     ]
     out_specs = [tile_spec]
     out_shape = [jax.ShapeDtypeStruct((b, sp, d), x.dtype)]
+    kwargs = {}
     if emit_res:
         res_spec = pl.BlockSpec((1, bt, sp, d), lambda t, l: (l, t, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_specs += [res_spec, res_spec]
         out_shape += [jax.ShapeDtypeStruct((layers, b, sp, d), x.dtype)] * 2
+    # the residual-emitting variant sits right at Mosaic's default 16 MB
+    # scoped-VMEM budget at tile 8 (~16.0-16.6 MB depending on how the
+    # scheduler lands for a given surrounding module); give it explicit
+    # headroom. A small raise does NOT trigger the double-buffering
+    # trade-off seen at 110 MB (CLAUDE.md round-1 dead end).
+    fwd_vmem_mb = int(os.environ.get("VIT2SPN_FWD_VMEM_MB", "0")) or (
+        18 if emit_res else 0
+    )
+    if fwd_vmem_mb:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=fwd_vmem_mb * 1024 * 1024
+        )
     outs = pl.pallas_call(
         kern,
         grid=(b // bt, layers),  # layer dim iterates fastest
@@ -579,6 +643,7 @@ def _backbone_fwd_impl(x, weights, heads, eps, block_images, interpret,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **kwargs,
     )(xp, *weights)
     return tuple(outs)  # pallas_call returns a list for list out_shape
 
@@ -618,12 +683,14 @@ def _backbone_vjp_bwd(heads, eps, block_images, interpret, bwd_block_images,
     xs, x2s, weights, s = res  # xs/x2s: (L, B, SP, D), seq-padded
     layers, b, sp, d = xs.shape
     gp = _pad_seq(g.astype(xs.dtype), sp)
+    merged = os.environ.get("VIT2SPN_MERGED_BWD", "0") == "1"
     dws = {n: [] for n in WEIGHT_NAMES}
     for l in reversed(range(layers)):
         wl = _prep_weights(tuple(w[l] for w in weights))
         gp, dw_l = _layer_bwd(xs[l], x2s[l], gp,
                               dict(zip(WEIGHT_NAMES, wl)),
-                              heads, s, sp, eps, bwd_block_images, interpret)
+                              heads, s, sp, eps, bwd_block_images, interpret,
+                              merged=merged)
         for n in WEIGHT_NAMES:
             dws[n].append(dw_l[n])
     dweights = tuple(

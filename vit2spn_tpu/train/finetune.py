@@ -98,8 +98,14 @@ def _build_finetune_fns(
         else mesh.axis_names[0]
     )
 
+    # raw-grayscale batches + normalize folded into the patch embed (exact;
+    # models/vit.py::fold_patch_embed_gray) — the (B, 224, 224, 3) tensors
+    # drop out of the hot loop
+    norm_fold = (cfg.data.augment.normalize_mean, cfg.data.augment.normalize_std)
+
     def forward(backbone, head, bn_state, images, key, train):
-        feats = vit_features(backbone, images, cfg.vit, policy, attn_impl)
+        feats = vit_features(backbone, images, cfg.vit, policy, attn_impl,
+                             norm_fold=norm_fold)
         return classifier_head_apply(
             head,
             bn_state,
@@ -119,7 +125,8 @@ def _build_finetune_fns(
     def train_step(state, batch_u8, labels, weights, key, lr_scale):
         k_aug, k_drop = jax.random.split(key)
         images = augment_batch(
-            k_aug, batch_u8, cfg.data.augment, out_dtype=policy.compute_dtype
+            k_aug, batch_u8, cfg.data.augment,
+            out_dtype=policy.compute_dtype, fold_normalize=True,
         )
         trainable = (state.backbone, state.head)
         (loss, new_bn), grads = grad_fn(
@@ -157,7 +164,9 @@ def _build_finetune_fns(
             idx, mask, k = inp
             x = jnp.take(images, idx, axis=0)
             y = jnp.take(labels, idx)
-            imgs = augment_batch(k, x, eval_aug_cfg, out_dtype=policy.compute_dtype)
+            imgs = augment_batch(k, x, eval_aug_cfg,
+                                 out_dtype=policy.compute_dtype,
+                                 fold_normalize=True)
             logits, _ = forward(state.backbone, state.head, state.bn_state,
                                 imgs, k, False)
             logp = jax.nn.log_softmax(logits, axis=-1)

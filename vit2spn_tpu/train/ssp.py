@@ -169,13 +169,20 @@ class SSPTrainer:
     # ------------------------------------------------------------------
     def _build_step(self):
         cfg, policy, attn_impl = self.cfg, self.policy, self.attn_impl
+        # raw-grayscale views + normalize folded into the patch embed
+        # (models/vit.py::fold_patch_embed_gray): exact, and the
+        # (B, 224, 224, 3) view tensors drop out of the hot loop
+        norm_fold = (
+            cfg.data.augment.normalize_mean,
+            cfg.data.augment.normalize_std,
+        )
 
         def loss_fn(trainable, target, v1, v2, key):
             online, heads = trainable
             params = DualStreamParams(online=online, heads=heads, target=target)
             pred, tgt = dual_stream_forward(
                 params, v1, v2, cfg, policy, key=key, train=True,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, norm_fold=norm_fold,
             )
             loss = negative_cosine_loss(pred, tgt)
             # Collapse diagnostic: std of the L2-normalized predictions
@@ -206,7 +213,8 @@ class SSPTrainer:
                 mb, k = inp
                 k_aug, k_drop = jax.random.split(k)
                 v1, v2 = dual_view_batch(
-                    k_aug, mb, cfg.data.augment, out_dtype=policy.compute_dtype
+                    k_aug, mb, cfg.data.augment,
+                    out_dtype=policy.compute_dtype, fold_normalize=True,
                 )
                 (loss, pred_std), grads = grad_fn(
                     trainable, state.params.target, v1, v2, k_drop
@@ -243,7 +251,8 @@ class SSPTrainer:
                     mb, k = inp
                     k_aug, k_drop = jax.random.split(k)
                     v1, v2 = dual_view_batch(
-                        k_aug, mb, cfg.data.augment, out_dtype=policy.compute_dtype
+                        k_aug, mb, cfg.data.augment,
+                        out_dtype=policy.compute_dtype, fold_normalize=True,
                     )
                     (loss, pred_std), grads = grad_fn(
                         trainable, state.params.target, v1, v2, k_drop
