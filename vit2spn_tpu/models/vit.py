@@ -222,9 +222,9 @@ def vit_forward(
             )
             for n in WEIGHT_NAMES
         )
-        # fwd tile 8 / per-layer bwd tile 4 — the measured optimum on v5e
-        # (tile 16 fwd exceeds the 16 MB scoped-VMEM budget; see
-        # ops/fused_block.py for the other measured dead ends)
+        # fwd tile 16 @ 40 MB scoped VMEM / per-layer bwd tile 4 — the
+        # measured optimum on v5e (see ops/fused_block.py for the tile/VMEM
+        # sweep history and measured dead ends)
         pre_ln = fused_backbone(seq, wt, cfg.num_heads, cfg.layernorm_eps)
         last_hidden = _layernorm(
             pre_ln,

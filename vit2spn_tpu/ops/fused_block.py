@@ -624,13 +624,16 @@ def _backbone_fwd_impl(x, weights, heads, eps, block_images, interpret,
                                 memory_space=pltpu.VMEM)
         out_specs += [res_spec, res_spec]
         out_shape += [jax.ShapeDtypeStruct((layers, b, sp, d), x.dtype)] * 2
-    # the residual-emitting variant sits right at Mosaic's default 16 MB
-    # scoped-VMEM budget at tile 8 (~16.0-16.6 MB depending on how the
-    # scheduler lands for a given surrounding module); give it explicit
-    # headroom. A small raise does NOT trigger the double-buffering
-    # trade-off seen at 110 MB (CLAUDE.md round-1 dead end).
+    # Scoped-VMEM budget. At tile 8 the residual-emitting variant sits right
+    # at Mosaic's default 16 MB (~16.0-16.6 MB depending on how the scheduler
+    # lands for a given surrounding module) -> 18 MB; the default tile 16
+    # needs ~33 MB (res) -> 40 MB for both variants. Round-1's "fwd tile >8
+    # is slower" was an artifact of the 16 MB ceiling: tile 16 @ 40 MB
+    # measures 2963 vs 2932 img/s/chip at tile 8 (tile 32 @ 96 MB and the
+    # 110 MB raise at unchanged tiles both regress - double-buffering
+    # trade-off, CLAUDE.md).
     fwd_vmem_mb = int(os.environ.get("VIT2SPN_FWD_VMEM_MB", "0")) or (
-        18 if emit_res else 0
+        (18 if emit_res else 0) if bt <= 8 else 40
     )
     if fwd_vmem_mb:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -650,7 +653,7 @@ def _backbone_fwd_impl(x, weights, heads, eps, block_images, interpret,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def fused_backbone(x, weights: Tuple, heads: int, eps: float,
-                   block_images: int = 8, interpret: bool = False,
+                   block_images: int = 16, interpret: bool = False,
                    bwd_block_images: int = 8):
     """Run the full transformer stack over x: (B, S, D).
 
