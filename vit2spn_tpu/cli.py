@@ -241,7 +241,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:
+        # stdout consumer closed early (e.g. `vit2spn presets | head`);
+        # redirect the fd so Python's interpreter-exit flush doesn't raise
+        import os as _os
+        import sys as _sys
+
+        _os.dup2(_os.open(_os.devnull, _os.O_WRONLY), _sys.stdout.fileno())
+        return 0
 
 
 if __name__ == "__main__":

@@ -510,12 +510,26 @@ def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret,
             vmem_limit=max(vmem or 0, 18 * 1024 * 1024),
         )
 
-    # per-kernel tiles: half the forward tile is the measured optimum on v5e
-    # (16 MB VMEM budget; see _attention_bwd docstring history in git for
-    # the tile-8/fori_loop dead ends)
+    # per-kernel tiles: tile 4 is the measured optimum for the attn-bwd
+    # kernel on v5e (its per-image unrolled attention loop dominates the
+    # scoped-VMEM footprint; see _attention_bwd docstring history in git for
+    # the tile-8/fori_loop dead ends). The MLP-bwd kernel has no per-image
+    # loop — only large GEMMs — so its tile is independently overridable.
+    # measured optimum (v5e, whole-step): attn-bwd tile 4, MLP-bwd tile 8
+    # (2989 img/s/chip vs 2962 with both at 4; MLP at 16 regresses to 2820 —
+    # less grid pipelining, same pattern as fwd tile 32)
+    mlp_bt_req = int(
+        os.environ.get("VIT2SPN_MLP_BWD_TILE", "0")
+    ) or min(2 * bt, 8)
+    mlp_bt = _tile_for(b, mlp_bt_req)
+    # measured scoped-VMEM need: 21.9 MB at tile 8, 40.8 MB at tile 16
+    mlp_vmem_mb = int(os.environ.get("VIT2SPN_MLP_BWD_VMEM_MB", "0"))
+    if not mlp_vmem_mb and mlp_bt != bt:
+        mlp_vmem_mb = {4: 0, 8: 24}.get(mlp_bt, 48)
+    mlp_vmem = mlp_vmem_mb * 1024 * 1024 if mlp_vmem_mb else vmem
     mlp_names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
-    dx2, mlp_grads = run(_mlp_bwd_kernel, mlp_names, (x2p, gp), {}, bt=bt,
-                         vmem_limit=vmem)
+    dx2, mlp_grads = run(_mlp_bwd_kernel, mlp_names, (x2p, gp), {}, bt=mlp_bt,
+                         vmem_limit=mlp_vmem)
 
     attn_names = ("ln1_scale", "ln1_bias", "wqkv", "bqkv", "wo", "bo")
     # Mosaic's scoped-VMEM reservation for the unrolled per-image attention
