@@ -142,3 +142,46 @@ def test_backbone_grads_match_per_layer():
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3,
             err_msg=f"stacked grad mismatch for {name}",
         )
+
+
+def test_fast_gelu_matches_exact(setup, monkeypatch):
+    """VIT2SPN_FAST_GELU swaps the in-kernel erf/gelu-grad transcendentals
+    for exp-free rational approximations (tools/fit_gelu_rational.py).
+    Approximation error is orders below bf16 resolution: fwd and grads must
+    match the exact path within bf16-level tolerances."""
+    import sys
+
+    fb_mod = sys.modules["vit2spn_tpu.ops.fused_block"]
+    lp, x = setup
+    wt = _as_tuple(lp)
+
+    def loss(x, wt):
+        return jnp.sum(jnp.sin(fused_block(x, wt, CFG.num_heads, EPS, 2, True)))
+
+    monkeypatch.setenv("VIT2SPN_FAST_GELU", "0")
+    l0, (gx0, gw0) = jax.value_and_grad(loss, argnums=(0, 1))(x, wt)
+    monkeypatch.setenv("VIT2SPN_FAST_GELU", "1")
+    l1, (gx1, gw1) = jax.value_and_grad(loss, argnums=(0, 1))(x, wt)
+
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                               atol=5e-3, rtol=5e-3)
+    for name, a, b in zip(WEIGHT_NAMES, gw1, gw0):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-2, rtol=5e-3,
+            err_msg=f"fast-gelu grad mismatch for {name}",
+        )
+
+    # direct approximation-quality pins (float64 reference)
+    from math import erf as pyerf
+
+    xs = np.linspace(-6.0, 6.0, 20001)
+    ref = np.array([pyerf(v) for v in xs])
+    got = np.asarray(fb_mod._erf_fast(jnp.asarray(xs)))
+    assert np.abs(got - ref).max() < 1e-4
+    gref = (
+        0.5 * (1.0 + np.array([pyerf(v / np.sqrt(2)) for v in xs]))
+        + xs * np.exp(-xs * xs / 2) / np.sqrt(2 * np.pi)
+    )
+    ggot = np.asarray(fb_mod._gelu_grad_fast(jnp.asarray(xs)))
+    assert np.abs(ggot - gref).max() < 1e-4

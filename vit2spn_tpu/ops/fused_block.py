@@ -48,7 +48,19 @@ WEIGHT_NAMES = (
 )
 
 
-def _erf(x):
+# The gelu path evaluates ~1.6e9 transcendentals per production step (erf in
+# the fwd + recompute, erf+gaussian in the grad) on the VPU. FAST_GELU swaps
+# them for exp-free odd rational approximations (least-squares fits, this
+# tools/fit_gelu_rational.py): |err| <= 1.6e-6 (erf, clamped at 2.85
+# where erf=0.999944) and 4.6e-5 (gelu'), both orders below bf16's 2^-8
+# relative resolution — the kernels cast gelu outputs to bf16, so the
+# approximation is invisible downstream.
+def _fast_gelu() -> bool:
+    # read at trace time so tests/benches can toggle per-process
+    return os.environ.get("VIT2SPN_FAST_GELU", "1") == "1"
+
+
+def _erf_exact(x):
     """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7) — Mosaic has
     no erf/erfc lowering; exp is the only transcendental needed."""
     sign = jnp.sign(x)
@@ -57,6 +69,26 @@ def _erf(x):
     poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
             + t * (-1.453152027 + t * 1.061405429))))
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _erf_fast(x):
+    """erf(x) ~ x*P3(x^2)/Q3(x^2) on |x| <= 2.85 (|err| 1.6e-6), argument
+    clamped beyond (erf(2.85) = 0.999944). No transcendentals."""
+    xc = jnp.clip(x, -2.85, 2.85)
+    s = xc * xc
+    p = 0.0007759375156021812
+    p = 0.04364307199854397 + s * p
+    p = 0.152401946881353 + s * p
+    p = 1.1283910782934625 + s * p
+    q = 0.009499417862424642
+    q = 0.09458288959613165 + s * q
+    q = 0.4684927411517595 + s * q
+    q = 1.0 + s * q
+    return xc * p / q
+
+
+def _erf(x):
+    return _erf_fast(x) if _fast_gelu() else _erf_exact(x)
 
 
 def _ln_fwd(x2d, scale, bias, eps):
@@ -152,12 +184,33 @@ def _ln_bwd(dy, xhat, rstd, scale):
     return dx, dscale, dbias
 
 
-def _gelu_grad(m1):
+def _gelu_grad_exact(m1):
     """d/dx gelu_exact(x) = Phi(x) + x phi(x)."""
     inv_sqrt2 = 0.7071067811865476
     phi = jnp.exp(-0.5 * m1 * m1) * 0.3989422804014327
-    cdf = 0.5 * (1.0 + _erf(m1 * inv_sqrt2))
+    cdf = 0.5 * (1.0 + _erf_exact(m1 * inv_sqrt2))
     return cdf + m1 * phi
+
+
+def _gelu_grad_fast(m1):
+    """gelu'(x) = 0.5 + x*P4(x^2)/Q3(x^2) on |x| <= 4.6 (|err| 4.6e-5; the
+    odd part of gelu' around 0.5), clamped beyond. No transcendentals."""
+    xc = jnp.clip(m1, -4.6, 4.6)
+    s = xc * xc
+    p = 1.8219220945499694e-06
+    p = -1.2033074181130153e-05 + s * p
+    p = 0.013759530274157408 + s * p
+    p = -0.03544238930343691 + s * p
+    p = 0.7981352003862573 + s * p
+    q = 0.003771008302941207
+    q = 0.036972201734621915 + s * q
+    q = 0.2904124253896315 + s * q
+    q = 1.0 + s * q
+    return 0.5 + xc * p / q
+
+
+def _gelu_grad(m1):
+    return _gelu_grad_fast(m1) if _fast_gelu() else _gelu_grad_exact(m1)
 
 
 def _attention_bwd(qkv, datt, bt, sp, d, heads, seq_len, dtype):
@@ -522,10 +575,10 @@ def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret,
         os.environ.get("VIT2SPN_MLP_BWD_TILE", "0")
     ) or min(2 * bt, 8)
     mlp_bt = _tile_for(b, mlp_bt_req)
-    # measured scoped-VMEM need: 21.9 MB at tile 8, 40.8 MB at tile 16
+    # measured scoped-VMEM need at tile 8: 21.9 MB (exact gelu), 24.8 MB (fast)
     mlp_vmem_mb = int(os.environ.get("VIT2SPN_MLP_BWD_VMEM_MB", "0"))
     if not mlp_vmem_mb and mlp_bt != bt:
-        mlp_vmem_mb = {4: 0, 8: 24}.get(mlp_bt, 48)
+        mlp_vmem_mb = {4: 0, 8: 26}.get(mlp_bt, 48)
     mlp_vmem = mlp_vmem_mb * 1024 * 1024 if mlp_vmem_mb else vmem
     mlp_names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
     dx2, mlp_grads = run(_mlp_bwd_kernel, mlp_names, (x2p, gp), {}, bt=mlp_bt,
