@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -310,20 +311,26 @@ class FineTuneTrainer:
         for epoch in range(epochs):
             idx_mat = self._train_indices(len(train_ds), cfg.seed + epoch)
             epoch_key = rngmod.fold(self._train_key, epoch)
+            t0 = time.perf_counter()
             self.state, train_loss = self._train_epoch(
                 self.state, images, labels,
                 jnp.asarray(idx_mat, jnp.int32), weights, epoch_key,
                 jnp.asarray(lr_scale, jnp.float32),
             )
+            # float() forces the host fetch (block_until_ready returns early
+            # on tunneled runtimes), so dt covers the full epoch execution
+            train_loss = float(train_loss)
+            dt = time.perf_counter() - t0
             val_loss, _, _ = self.evaluate(val_ds, class_weights, seed=epoch)
             if cfg.use_scheduler:
                 lr_scale = plateau.step(val_loss)
             self.logger.log(
                 f"{tag}_epoch",
                 epoch=epoch + 1,
-                train_loss=float(train_loss),
+                train_loss=train_loss,
                 val_loss=val_loss,
                 lr_scale=lr_scale,
+                images_per_sec=idx_mat.size / dt,
             )
             stopper.step(val_loss, jax.device_get(self.state))
             if cfg.use_early_stop and stopper.should_stop:
