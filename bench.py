@@ -39,10 +39,14 @@ def main(argv=None) -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", choices=["octmnist", "hires"], default="octmnist",
+        "--mode", choices=["octmnist", "hires", "inference"],
+        default="octmnist",
         help="octmnist: 28 px sources (flagship protocol). hires: 256 px "
         "folder-dataset-shaped sources -> band-limit -> warp "
-        "(OCTID/UCSD pipeline cost, ucsdoct_ft_vit2spn.py:30-43).",
+        "(OCTID/UCSD pipeline cost, ucsdoct_ft_vit2spn.py:30-43). "
+        "inference: eval-mode dual-stream feature extraction (the "
+        "extract_features/serving path — deterministic eval views, "
+        "residual-free fused-backbone primal, no backward).",
     )
     ap.add_argument("--band-limit", type=int, default=None,
                     help="override augment band_limit (hires tuning)")
@@ -64,6 +68,9 @@ def main(argv=None) -> None:
     trainer.attach_dataset(ds.images)  # data lives in HBM; steps ship indices
 
     n_steps = 10
+
+    if args.mode == "inference":
+        return _bench_inference(trainer, ds, rng)
 
     def run(seed):
         # production path: whole scan of steps in ONE dispatch
@@ -94,6 +101,70 @@ def main(argv=None) -> None:
         json.dumps(
             {
                 "metric": f"ssp_images_per_sec_per_chip{suffix}",
+                "value": round(img_per_sec_chip, 2),
+                "unit": "images/s/chip",
+                "vs_baseline": round(img_per_sec_chip / RTX6000_EST_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+def _bench_inference(trainer, ds, rng) -> None:
+    """Eval-path throughput: dual-view deterministic transform + 4-backbone
+    eval forward + heads (the `extract_features` parity path,
+    dsn_ssn/ssp_single.py:140-156) over device-resident data — i.e. offline
+    batched inference/serving. No backward, residual-free fused primal."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from vit2spn_tpu.core import rng as rngmod
+    from vit2spn_tpu.data.augment import dual_view_batch
+    from vit2spn_tpu.models.ssp import dual_stream_forward
+
+    cfg, policy = trainer.cfg, trainer.policy
+    aug_eval = dc.replace(cfg.data.augment, enabled=False)
+    norm_fold = (cfg.data.augment.normalize_mean, cfg.data.augment.normalize_std)
+    images = trainer._device_images
+    batch, n_steps = 1024, 10
+
+    @jax.jit
+    def run_fn(params, images, idx_mat, key):
+        def body(acc, idx):
+            mb = jnp.take(images, idx, axis=0)
+            v1, v2 = dual_view_batch(
+                key, mb, aug_eval, out_dtype=policy.compute_dtype,
+                fold_normalize=True,
+            )
+            pred, _ = dual_stream_forward(
+                params, v1, v2, cfg, policy, train=False,
+                attn_impl=trainer.attn_impl, norm_fold=norm_fold,
+            )
+            return acc + jnp.sum(pred.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), idx_mat)
+        return acc
+
+    def run(seed):
+        idx_mat = rng.integers(0, len(ds), (n_steps, batch))
+        out = run_fn(
+            trainer.state.params, images, jnp.asarray(idx_mat),
+            rngmod.fold(rngmod.root_key(cfg.seed), 31337, seed),
+        )
+        return float(out)  # force the host fetch
+
+    run(0)  # compile + warmup
+    dt = min(
+        (lambda t0: (run(1 + i), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for i in range(3)
+    )
+    img_per_sec_chip = n_steps * batch / dt / jax.device_count()
+    print(
+        json.dumps(
+            {
+                "metric": "ssp_inference_images_per_sec_per_chip",
                 "value": round(img_per_sec_chip, 2),
                 "unit": "images/s/chip",
                 "vs_baseline": round(img_per_sec_chip / RTX6000_EST_IMG_PER_SEC, 3),
