@@ -33,9 +33,12 @@ RTX6000_EST_IMG_PER_SEC = 565.0
 
 def main(argv=None) -> None:
     from vit2spn_tpu.core.config import SSPConfig, replace
+    from vit2spn_tpu.core.runtime import enable_compilation_cache
     from vit2spn_tpu.data.datasets import synthetic_dataset
     from vit2spn_tpu.train.ssp import SSPTrainer
     from vit2spn_tpu.utils.logging import MetricLogger
+
+    enable_compilation_cache()
 
     ap = argparse.ArgumentParser()
     ap.add_argument(

@@ -240,6 +240,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from vit2spn_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)
