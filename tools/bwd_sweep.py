@@ -24,6 +24,9 @@ ENV_KEYS = ["VIT2SPN_BWD_TILE", "VIT2SPN_BWD_VMEM_MB", "VIT2SPN_MERGED_BWD",
 
 
 def main():
+    from vit2spn_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     from vit2spn_tpu.core.config import SSPConfig
     from vit2spn_tpu.data.datasets import synthetic_dataset

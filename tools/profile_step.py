@@ -4,10 +4,13 @@ import jax
 import numpy as np
 
 from vit2spn_tpu.core.config import SSPConfig
+from vit2spn_tpu.core.runtime import enable_compilation_cache
 from vit2spn_tpu.data.datasets import synthetic_dataset
 from vit2spn_tpu.train.ssp import SSPTrainer
 from vit2spn_tpu.utils.logging import MetricLogger
 from vit2spn_tpu.utils.profiling import profile_fn
+
+enable_compilation_cache()
 
 cfg = SSPConfig(pretrained_init=False)
 tr = SSPTrainer(cfg, logger=MetricLogger(echo=False))

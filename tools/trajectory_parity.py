@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main() -> None:
+    from vit2spn_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from vit2spn_tpu.core.config import SSPConfig
