@@ -122,3 +122,49 @@ def test_octmnist_npz_format_validation(tmp_path):
         np.testing.assert_array_equal(
             sub.labels, arrays[f"{split}_labels"].reshape(-1)
         )
+
+
+def test_folder_raw_image_properties(tmp_path):
+    """Raw pre-resize size statistics survive the canonical resize — the
+    reference computes min/max/avg width/height/aspect over the ORIGINAL
+    files (preprocessing/octmnist_dataset.py:27-78, published in
+    octid_dataset_summary.json)."""
+    PIL = pytest.importorskip("PIL.Image")
+    from vit2spn_tpu.data.stats import image_properties
+
+    root = tmp_path / "octird"
+    rng = np.random.default_rng(1)
+    sizes = [(60, 40), (90, 60), (750, 500)]  # (w, h), aspect 1.5 each
+    for ci, cls in enumerate(("amd", "csr")):
+        d = root / cls
+        d.mkdir(parents=True)
+        for i, (w, h) in enumerate(sizes):
+            arr = rng.integers(0, 255, (h, w), dtype=np.uint8)
+            PIL.fromarray(arr).save(d / f"img{i}.png")
+
+    ds = load_dataset("octid", root=str(tmp_path), source_size=32)
+    assert ds.images.shape == (6, 32, 32, 1)  # canonical array is resized
+    assert ds.raw_sizes.shape == (6, 2)
+
+    props = image_properties(ds)
+    assert props["min_width"] == 60 and props["max_width"] == 750
+    assert props["min_height"] == 40 and props["max_height"] == 500
+    assert props["avg_width"] == pytest.approx(np.mean([60, 90, 750]))
+    assert props["avg_aspect_ratio"] == pytest.approx(1.5)
+    assert props["avg_file_size_kb"] > 0
+    # summary JSON carries the block, and subsets slice the raw sizes
+    s = dataset_summary(ds)
+    assert s["image_properties"]["max_width"] == 750
+    sub = ds.subset(np.array([0, 1]))
+    assert sub.raw_sizes.shape == (2, 2)
+
+
+def test_array_dataset_image_properties_degenerate_ok():
+    """Array datasets (octmnist/synthetic) have raw == canonical sizes."""
+    from vit2spn_tpu.data.stats import image_properties
+
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 8})
+    props = image_properties(ds)
+    assert props["min_width"] == props["max_width"] == 28
+    assert props["avg_aspect_ratio"] == 1.0
+    assert "avg_file_size_kb" not in props

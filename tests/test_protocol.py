@@ -102,3 +102,37 @@ def test_run_multitrial_output_shape(tiny_ft):
     assert "across_trials" in out
     for t in out["trials"]:
         assert len(t["fold_metrics"]) == cfg.k_folds
+
+
+def test_nan_fold_fallback(tiny_ft, tmp_path):
+    """All-NaN fold mAUCs (a class absent from every val fold) must trigger
+    the last-fold fallback with a logged warning instead of crashing — the
+    reference would raise at the best-model indexing
+    (octmnist_ft_vit2spn.py:200-206); see evals/protocol.py:168-172."""
+    import json
+    import warnings
+
+    cfg = _cfg(tiny_ft)
+    ds = synthetic_dataset(
+        num_classes=2, split_sizes={"train": 60, "test": 24}, seed=3
+    )
+    # declare a third class that never occurs: every fold's val labels lack
+    # it, so per-class AUC (and thus mAUC) is NaN for every fold
+    ds = dataclasses.replace(ds, num_classes=3,
+                             class_names=["a", "b", "never"])
+
+    log_path = tmp_path / "log.jsonl"
+    with MetricLogger(str(log_path), echo=False) as logger:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # sklearn UndefinedMetricWarning
+            res = run_cv_protocol(cfg, dataset=ds, logger=logger)
+
+    # sklearn-matching NaN propagation end-to-end through CVResult
+    assert all(np.isnan(a) for a in res.fold_aucs)
+    assert np.isnan(res.mean_auc)
+    assert res.best_fold == cfg.k_folds - 1  # last fold used as fallback
+    assert np.isnan(res.test_summary["mean_auc"])
+    assert res.test_summary["confusion_matrix"].shape == (3, 3)
+    events = [json.loads(l) for l in open(log_path)]
+    warn = [e for e in events if e["event"] == "warning"]
+    assert warn and "NaN" in warn[0]["message"]

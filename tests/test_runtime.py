@@ -20,6 +20,7 @@ def test_creates_and_configures_default_dir(monkeypatch, tmp_path):
     monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
     target = tmp_path / "xla-cache"
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         got = enable_compilation_cache(str(target))
         assert got == str(target)
@@ -28,3 +29,4 @@ def test_creates_and_configures_default_dir(monkeypatch, tmp_path):
         assert jax.config.jax_persistent_cache_min_compile_time_secs == 5.0
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)

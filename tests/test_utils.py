@@ -56,3 +56,24 @@ def test_profile_fn_cpu(tmp_path):
                       log_dir=str(tmp_path / "tr"), top=5)
     assert len(rows) > 0
     assert all(len(r) == 3 for r in rows)
+
+
+def test_dual_stream_report_component_flops(tiny_ssp):
+    """Component-wise FLOPs breakdown matches the reference's alternative
+    calculation: n_streams*backbone + projection + prediction
+    (ssp_vit2spn_tiny.py:188-194)."""
+    from vit2spn_tpu.models.ssp import init_dual_stream
+
+    params = init_dual_stream(jax.random.key(0), tiny_ssp)
+    rep = dual_stream_report(tiny_ssp, params)
+    for k in ("backbone_gflops", "projection_head_gflops",
+              "prediction_head_gflops", "componentwise_gflops"):
+        assert rep[k] is not None and rep[k] > 0
+    n = 2 if tiny_ssp.dual_stream else 1
+    assert rep["componentwise_gflops"] == pytest.approx(
+        n * rep["backbone_gflops"] + rep["projection_head_gflops"]
+        + rep["prediction_head_gflops"], abs=2e-4,
+    )
+    # the full dual-stream forward also runs the target backbones, so it
+    # must exceed the online-only component sum
+    assert rep["forward_gflops"] > rep["componentwise_gflops"]

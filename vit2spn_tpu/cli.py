@@ -252,7 +252,10 @@ def main(argv=None) -> int:
         import os as _os
         import sys as _sys
 
-        _os.dup2(_os.open(_os.devnull, _os.O_WRONLY), _sys.stdout.fileno())
+        for stream in (_sys.stdout, _sys.stderr):
+            fd = _os.open(_os.devnull, _os.O_WRONLY)
+            _os.dup2(fd, stream.fileno())
+            _os.close(fd)
         return 0
 
 

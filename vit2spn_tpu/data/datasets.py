@@ -38,6 +38,13 @@ class Dataset:
     num_classes: int
     class_names: List[str]
     splits: Dict[str, np.ndarray] = field(default_factory=dict)  # name -> indices
+    # per-image (width, height) of the ORIGINAL files before the canonical
+    # resize, + file size in KB — kept so data/stats.py can reproduce the
+    # reference's raw image-properties statistics
+    # (preprocessing/octmnist_dataset.py:27-78). None for array datasets
+    # (octmnist / synthetic), where raw == canonical.
+    raw_sizes: Optional[np.ndarray] = None  # int64 (N, 2) = (width, height)
+    raw_file_kb: Optional[np.ndarray] = None  # float64 (N,)
 
     def __len__(self) -> int:
         return len(self.images)
@@ -47,12 +54,17 @@ class Dataset:
         # to fancy indexing, with a transparent numpy fallback) — data/native.py
         from vit2spn_tpu.data import native
 
+        idx = np.asarray(indices).reshape(-1)
         return Dataset(
             name=name or self.name,
             images=native.gather_batch(self.images, indices),
-            labels=self.labels[np.asarray(indices).reshape(-1)],
+            labels=self.labels[idx],
             num_classes=self.num_classes,
             class_names=self.class_names,
+            raw_sizes=None if self.raw_sizes is None else self.raw_sizes[idx],
+            raw_file_kb=(
+                None if self.raw_file_kb is None else self.raw_file_kb[idx]
+            ),
         )
 
     def split(self, split_name: str) -> "Dataset":
@@ -147,18 +159,21 @@ def _load_folder(root_dir: str, name: str, source_size: int,
         d for d in os.listdir(root_dir)
         if os.path.isdir(os.path.join(root_dir, d))
     )
-    images, labels = [], []
+    images, labels, raw_sizes, raw_kb = [], [], [], []
     exts = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
     for ci, cls in enumerate(classes):
         cdir = os.path.join(root_dir, cls)
         for fname in sorted(os.listdir(cdir)):
             if os.path.splitext(fname)[1].lower() not in exts:
                 continue
-            with Image.open(os.path.join(cdir, fname)) as im:
+            fpath = os.path.join(cdir, fname)
+            with Image.open(fpath) as im:
+                raw_sizes.append(im.size)  # (width, height) pre-resize
                 im = im.convert("L").resize(
                     (source_size, source_size), Image.BILINEAR
                 )
                 images.append(np.asarray(im, dtype=np.uint8)[..., None])
+            raw_kb.append(os.path.getsize(fpath) / 1024.0)
             labels.append(ci)
     return Dataset(
         name=name,
@@ -166,6 +181,8 @@ def _load_folder(root_dir: str, name: str, source_size: int,
         labels=np.asarray(labels, dtype=np.int64),
         num_classes=len(classes),
         class_names=classes,
+        raw_sizes=np.asarray(raw_sizes, dtype=np.int64),
+        raw_file_kb=np.asarray(raw_kb, dtype=np.float64),
     )
 
 

@@ -15,6 +15,38 @@ import numpy as np
 from vit2spn_tpu.data.datasets import Dataset
 
 
+def image_properties(ds: Dataset) -> dict:
+    """The reference's raw-file size statistics (get_image_properties,
+    preprocessing/octmnist_dataset.py:27-78; published in
+    octid_dataset_summary.json): min/max/avg width, height, aspect ratio +
+    avg file size, computed over the ORIGINAL pre-resize files when the
+    loader recorded them (folder datasets), else over the canonical array
+    (array datasets like octmnist, where raw == canonical)."""
+    if ds.raw_sizes is not None:
+        widths = ds.raw_sizes[:, 0].astype(np.float64)
+        heights = ds.raw_sizes[:, 1].astype(np.float64)
+    else:
+        n, h, w = ds.images.shape[0], ds.images.shape[1], ds.images.shape[2]
+        widths = np.full(n, float(w))
+        heights = np.full(n, float(h))
+    aspect = widths / heights
+    props = {
+        "min_width": int(widths.min()),
+        "max_width": int(widths.max()),
+        "avg_width": float(widths.mean()),
+        "min_height": int(heights.min()),
+        "max_height": int(heights.max()),
+        "avg_height": float(heights.mean()),
+        "min_aspect_ratio": float(aspect.min()),
+        "max_aspect_ratio": float(aspect.max()),
+        "avg_aspect_ratio": float(aspect.mean()),
+        "corrupted_files": False,  # loader raises on undecodable files
+    }
+    if ds.raw_file_kb is not None:
+        props["avg_file_size_kb"] = float(ds.raw_file_kb.mean())
+    return props
+
+
 def dataset_summary(ds: Dataset) -> dict:
     imgs = ds.images
     x = imgs.astype(np.float64) / 255.0
@@ -32,6 +64,8 @@ def dataset_summary(ds: Dataset) -> dict:
         },
         "image_size": {"height": int(h), "width": int(w),
                        "aspect_ratio": float(w / h)},
+        # raw pre-resize statistics (preprocessing/octmnist_dataset.py:27-78)
+        "image_properties": image_properties(ds),
         "channels": int(imgs.shape[3]),
         "pixel_mean": [float(m) for m in per_channel_mean],
         "pixel_std": [float(s) for s in per_channel_std],
