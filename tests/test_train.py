@@ -211,3 +211,83 @@ def test_plateau_threshold_matches_torch():
             f"diverged at metric={metric}"
         )
     assert ours.scale < 1.0  # the plateau actually triggered a drop
+
+
+def _no_rand_cfg(tiny_ssp):
+    """Augmentation + dropout off so duplicated samples are bit-identical."""
+    return dataclasses.replace(
+        tiny_ssp,
+        proj_dropout=0.0,
+        data=dataclasses.replace(
+            tiny_ssp.data,
+            augment=dataclasses.replace(
+                tiny_ssp.data.augment, enabled=False
+            ),
+        ),
+    )
+
+
+def test_masked_tail_group_matches_unpadded(tiny_ssp):
+    """A weight-0-padded microbatch must produce EXACTLY the update of the
+    reference's partial batch (ssp_vit2spn_tiny.py:215): masked mean over
+    {s1..s4, pad} == full mean over {s1..s4, s1..s4} duplicates."""
+    cfg = _no_rand_cfg(tiny_ssp)  # eff = 8 * 2 microbatches? no: 8x2=16
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 32}, seed=11)
+    eff = cfg.effective_batch
+    assert eff == 16
+    mb1 = ds.images[:8]
+    real = ds.images[8:12]      # 4 real tail samples
+    garbage = ds.images[20:24]  # pad content must not matter
+
+    batch_a = np.concatenate([mb1, real, garbage])
+    w_a = np.array([1.0] * 12 + [0.0] * 4, np.float32)
+    batch_b = np.concatenate([mb1, real, real])
+
+    key = jax.random.key(3)
+    tr_a = SSPTrainer(cfg, logger=QUIET)
+    la = float(tr_a.train_step(batch_a, key, w=w_a)["loss"])
+    tr_b = SSPTrainer(cfg, logger=QUIET)
+    lb = float(tr_b.train_step(batch_b, key)["loss"])
+    np.testing.assert_allclose(la, lb, atol=1e-6)
+    pa = jax.device_get(tr_a.state.params.online["patch_embed"]["kernel"])
+    pb = jax.device_get(tr_b.state.params.online["patch_embed"]["kernel"])
+    np.testing.assert_allclose(pa, pb, atol=1e-6)
+    # pad content must not influence the update
+    batch_c = np.concatenate([mb1, real, ds.images[24:28]])
+    tr_c = SSPTrainer(cfg, logger=QUIET)
+    lc = float(tr_c.train_step(batch_c, key, w=w_a)["loss"])
+    np.testing.assert_allclose(la, lc, atol=1e-7)
+
+
+def test_fit_trains_epoch_tail(tiny_ssp, tmp_path):
+    """With train_tail (default) every sample of a non-divisible epoch
+    trains: images_per_sec * seconds == n, and one extra step runs."""
+    import json
+
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 35}, seed=2)
+    log_path = tmp_path / "tail.jsonl"
+    with MetricLogger(str(log_path), echo=False) as logger:
+        tr = SSPTrainer(tiny_ssp, logger=logger)
+        tr.fit(ds, epochs=1)
+    ev = [json.loads(l) for l in open(log_path)]
+    ep = [e for e in ev if e["event"] == "ssp_epoch"][0]
+    assert round(ep["images_per_sec"] * ep["seconds"]) == 35  # eff 16 -> 2x16+3
+
+    cfg_off = dataclasses.replace(tiny_ssp, train_tail=False)
+    log2 = tmp_path / "notail.jsonl"
+    with MetricLogger(str(log2), echo=False) as logger:
+        tr = SSPTrainer(cfg_off, logger=logger)
+        tr.fit(ds, epochs=1)
+    ev = [json.loads(l) for l in open(log2)]
+    ep = [e for e in ev if e["event"] == "ssp_epoch"][0]
+    assert round(ep["images_per_sec"] * ep["seconds"]) == 32  # tail dropped
+
+
+def test_shard_map_rejects_masked_tail(tiny_ssp):
+    tr = SSPTrainer(tiny_ssp, logger=QUIET, dist_mode="shard_map")
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 32})
+    assert tr.attach_dataset(ds.images)
+    idx = np.arange(16)[None]
+    keys = jax.random.split(jax.random.key(0), 1)
+    with pytest.raises(NotImplementedError):
+        tr.train_epoch(idx, keys, np.ones((1, 16), np.float32))

@@ -159,6 +159,11 @@ class SSPConfig:
     proj_dim: int = 128
     proj_dropout: float = 0.3
     seed: int = 42
+    # Train the epoch's partial final accumulation group (the reference's
+    # `or (i+1)==len(dataloader)` step, ssp_vit2spn_tiny.py:215) as ONE extra
+    # masked step: pad indices are weight-0, static shapes preserved. With
+    # False the remainder is dropped (97,280 of 97,477 samples/epoch).
+    train_tail: bool = True
     checkpoint_every_epochs: int = 10  # ssp_vit2spn_tiny.py:231
     checkpoint_dir: str = "./ssp_retinaloct_tbme/vit2spn_tiny"
     # bf16 on the MXU replaces CUDA AMP fp16 + GradScaler

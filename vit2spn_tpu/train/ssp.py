@@ -20,10 +20,13 @@ TPU-native redesign of `train_self_supervised` (ssp_vit2spn_tiny.py:197-232):
     backbone-only export of the stream-1 online network (:246).
 
 Faithfulness notes: the reference's epoch has 762 batches, so its final
-accumulation group has 2 microbatches (:215 `or (i+1)==len(dataloader)`);
-with static shapes we drop the remainder (95 optimizer steps x 8 microbatches
-x 128 = 97,280 of 97,477 samples/epoch). Loss normalization matches:
-mean over microbatches == sum of (loss/accum_steps).
+accumulation group is partial — 2 microbatches, the last with 69 samples
+(:215 `or (i+1)==len(dataloader)`). With cfg.train_tail (default) that group
+runs as ONE extra masked step: pad samples carry weight 0 in the weighted
+cosine loss, so all 97,477 samples/epoch train under static shapes; with
+train_tail=False the remainder is dropped (95 steps x 8 x 128 = 97,280).
+Loss normalization matches: mean over microbatches == sum of
+(loss/accum_steps), each microbatch mean taken over its REAL samples.
 """
 
 from __future__ import annotations
@@ -177,32 +180,47 @@ class SSPTrainer:
             cfg.data.augment.normalize_std,
         )
 
-        def loss_fn(trainable, target, v1, v2, key):
+        def loss_fn(trainable, target, v1, v2, key, w):
+            """`w` is a per-sample 0/1 weight over the microbatch. All-ones
+            reproduces the plain means exactly; the epoch's padded tail
+            microbatches carry zeros on the pad (and all-zero weights on the
+            group's unused microbatches), matching the reference's partial
+            final accumulation group (ssp_vit2spn_tiny.py:215)."""
             online, heads = trainable
             params = DualStreamParams(online=online, heads=heads, target=target)
             pred, tgt = dual_stream_forward(
                 params, v1, v2, cfg, policy, key=key, train=True,
                 attn_impl=attn_impl, norm_fold=norm_fold,
             )
-            loss = negative_cosine_loss(pred, tgt)
-            # Collapse diagnostic: std of the L2-normalized predictions
-            # across the batch. BYOL-style objectives can collapse to
-            # constant features (loss -> -1 with pred_std -> 0) — observed
-            # on low-diversity synthetic data with the reference's
-            # shared-projection-head variant. The reference has no such
-            # signal; the published runs rely on the real data's diversity.
             pn = pred / jnp.maximum(
                 jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-8
             )
-            pred_std = jnp.mean(jnp.std(pn, axis=0))
+            tn = tgt / jnp.maximum(
+                jnp.linalg.norm(tgt, axis=-1, keepdims=True), 1e-8
+            )
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            # weighted mean == negative_cosine_loss when w is all ones
+            loss = -jnp.sum(jnp.sum(pn * tn, axis=-1) * w) / denom
+            # Collapse diagnostic: std of the L2-normalized predictions
+            # across the (weighted) batch. BYOL-style objectives can collapse
+            # to constant features (loss -> -1 with pred_std -> 0) — observed
+            # on low-diversity synthetic data with the reference's
+            # shared-projection-head variant. The reference has no such
+            # signal; the published runs rely on the real data's diversity.
+            mean_w = jnp.sum(w[:, None] * pn, axis=0) / denom
+            var = jnp.sum(w[:, None] * (pn - mean_w) ** 2, axis=0) / denom
+            pred_std = jnp.mean(jnp.sqrt(var))
             return loss, pred_std
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        def step(state: SSPTrainState, batch_u8: jax.Array, step_key: jax.Array):
-            # batch_u8: (accum * B, H, W, C) uint8, sharded over data axis
+        def step(state: SSPTrainState, batch_u8: jax.Array, step_key: jax.Array,
+                 w: jax.Array):
+            # batch_u8: (accum * B, H, W, C) uint8, sharded over data axis;
+            # w: (accum * B,) float32 per-sample weights (see loss_fn)
             a = cfg.accumulation_steps
             micro = batch_u8.reshape((a, -1) + batch_u8.shape[1:])
+            wm = w.reshape(a, -1)
             keys = jax.random.split(step_key, a)
 
             trainable = (state.params.online, state.params.heads)
@@ -210,20 +228,21 @@ class SSPTrainer:
 
             def body(carry, inp):
                 grads_acc, loss_acc, std_acc = carry
-                mb, k = inp
+                mb, k, wv = inp
                 k_aug, k_drop = jax.random.split(k)
                 v1, v2 = dual_view_batch(
                     k_aug, mb, cfg.data.augment,
                     out_dtype=policy.compute_dtype, fold_normalize=True,
                 )
                 (loss, pred_std), grads = grad_fn(
-                    trainable, state.params.target, v1, v2, k_drop
+                    trainable, state.params.target, v1, v2, k_drop, wv
                 )
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss, std_acc + pred_std), None
 
             (grads, loss_sum, std_sum), _ = jax.lax.scan(
-                body, (zero_grads, jnp.zeros(()), jnp.zeros(())), (micro, keys)
+                body, (zero_grads, jnp.zeros(()), jnp.zeros(())),
+                (micro, keys, wm),
             )
             grads = jax.tree.map(lambda g: g / a, grads)
 
@@ -254,8 +273,13 @@ class SSPTrainer:
                         k_aug, mb, cfg.data.augment,
                         out_dtype=policy.compute_dtype, fold_normalize=True,
                     )
+                    # shard_map mode is uniform-weight only: the per-shard
+                    # masked mean + pmean would mis-normalize a tail group
+                    # whose weight sums differ across shards (fit() drops the
+                    # tail in this mode and logs it)
                     (loss, pred_std), grads = grad_fn(
-                        trainable, state.params.target, v1, v2, k_drop
+                        trainable, state.params.target, v1, v2, k_drop,
+                        jnp.ones((mb.shape[0],), jnp.float32),
                     )
                     return (jax.tree.map(jnp.add, g_acc, grads), l_acc + loss,
                             s_acc + pred_std), None
@@ -272,7 +296,8 @@ class SSPTrainer:
                 local_grads, self.mesh, self._data_axis
             )
 
-            def step(state, batch_u8, step_key):  # noqa: F811
+            def step(state, batch_u8, step_key, w):  # noqa: F811
+                del w  # uniform-weight only (see local_grads)
                 grads, metrics = reduced(state, batch_u8, step_key)
                 trainable = (state.params.online, state.params.heads)
                 updates, opt_state = self.tx.update(grads, state.opt_state, trainable)
@@ -288,22 +313,23 @@ class SSPTrainer:
                 )
 
         data_shard = batch_sharding(self.mesh, 4, self._data_axis)
+        w_shard = batch_sharding(self.mesh, 1, self._data_axis)
         st_shard = self._state_sharding
         step_jit = jax.jit(
             step,
-            in_shardings=(st_shard, data_shard, self._rep),
+            in_shardings=(st_shard, data_shard, self._rep, w_shard),
             out_shardings=(st_shard, self._rep),
             donate_argnums=(0,),
         )
 
-        def step_by_index(state, images, idx, step_key):
+        def step_by_index(state, images, idx, step_key, w):
             batch = jnp.take(images, idx, axis=0)
-            return step(state, batch, step_key)
+            return step(state, batch, step_key, w)
 
         idx_shard = batch_sharding(self.mesh, 1, self._data_axis)
         step_idx_jit = jax.jit(
             step_by_index,
-            in_shardings=(st_shard, self._rep, idx_shard, self._rep),
+            in_shardings=(st_shard, self._rep, idx_shard, self._rep, w_shard),
             out_shardings=(st_shard, self._rep),
             donate_argnums=(0,),
         )
@@ -311,38 +337,47 @@ class SSPTrainer:
         # Whole-epoch driver: scan over optimizer steps so ONE dispatch (and
         # one ~40 ms host<->device round-trip on the tunneled runtime) covers
         # the entire epoch instead of every step.
-        def run_steps(state, images, idx_mat, keys):
+        def run_steps(state, images, idx_mat, keys, w_mat):
             def body(st, inp):
-                idx, k = inp
+                idx, k, w = inp
                 batch = jnp.take(images, idx, axis=0)
-                return step(st, batch, k)
+                return step(st, batch, k, w)
 
-            return jax.lax.scan(body, state, (idx_mat, keys))
+            return jax.lax.scan(body, state, (idx_mat, keys, w_mat))
 
         idx2_shard = NamedSharding(
             self.mesh, PartitionSpec(None, self._data_axis)
         )
         run_steps_jit = jax.jit(
             run_steps,
-            in_shardings=(st_shard, self._rep, idx2_shard, self._rep),
+            in_shardings=(st_shard, self._rep, idx2_shard, self._rep,
+                          idx2_shard),
             out_shardings=(st_shard, self._rep),
             donate_argnums=(0,),
         )
         return step_jit, step_idx_jit, run_steps_jit
 
     # ------------------------------------------------------------------
-    def train_step(self, batch_u8: np.ndarray, step_key) -> dict:
+    def train_step(self, batch_u8: np.ndarray, step_key, w=None) -> dict:
         """Dispatches one optimizer step; returns DEVICE-array metrics
         {"loss", "pred_std"}. Callers must not fetch them per step (that
         serializes host and device; fetch once per epoch — the async
-        dispatch queue then hides all host work behind device compute)."""
+        dispatch queue then hides all host work behind device compute).
+        `w` (optional, (accum*B,) 0/1) masks padded tail samples."""
         batch = jax.device_put(
             jnp.asarray(batch_u8), batch_sharding(self.mesh, 4, self._data_axis)
         )
-        self.state, metrics = self._step_fn(self.state, batch, step_key)
+        w = self._weights(len(batch_u8), w)
+        self.state, metrics = self._step_fn(self.state, batch, step_key, w)
         return metrics
 
-    def train_step_indices(self, idx: np.ndarray, step_key) -> jax.Array:
+    def _weights(self, n: int, w) -> jax.Array:
+        arr = np.ones(n, np.float32) if w is None else np.asarray(w, np.float32)
+        return jax.device_put(
+            jnp.asarray(arr), batch_sharding(self.mesh, 1, self._data_axis)
+        )
+
+    def train_step_indices(self, idx: np.ndarray, step_key, w=None) -> jax.Array:
         """Step over device-resident data (see attach_dataset): only the
         index vector crosses the host->device boundary."""
         assert self._device_images is not None, "call attach_dataset first"
@@ -351,20 +386,30 @@ class SSPTrainer:
             batch_sharding(self.mesh, 1, self._data_axis),
         )
         self.state, metrics = self._step_idx_fn(
-            self.state, self._device_images, idx_dev, step_key
+            self.state, self._device_images, idx_dev, step_key,
+            self._weights(len(idx), w),
         )
         return metrics
 
-    def train_epoch(self, idx_mat: np.ndarray, keys: jax.Array) -> jax.Array:
+    def train_epoch(self, idx_mat: np.ndarray, keys: jax.Array,
+                    w_mat: Optional[np.ndarray] = None) -> jax.Array:
         """Run idx_mat.shape[0] optimizer steps in ONE jitted scan over the
-        device-resident dataset. Returns the per-step losses (device array)."""
+        device-resident dataset. Returns the per-step losses (device array).
+        `w_mat` (optional, same shape as idx_mat, 0/1) masks padded tail
+        samples; requires the gspmd dist_mode when non-uniform."""
         assert self._device_images is not None, "call attach_dataset first"
-        idx_dev = jax.device_put(
-            jnp.asarray(idx_mat, jnp.int32),
-            NamedSharding(self.mesh, PartitionSpec(None, self._data_axis)),
-        )
+        if w_mat is not None and self.dist_mode == "shard_map":
+            raise NotImplementedError(
+                "masked tail training requires dist_mode='gspmd' (the "
+                "shard_map formulation normalizes per shard)"
+            )
+        sh2 = NamedSharding(self.mesh, PartitionSpec(None, self._data_axis))
+        idx_dev = jax.device_put(jnp.asarray(idx_mat, jnp.int32), sh2)
+        if w_mat is None:
+            w_mat = np.ones(idx_mat.shape, np.float32)
+        w_dev = jax.device_put(jnp.asarray(w_mat, jnp.float32), sh2)
         self.state, metrics = self._run_steps_fn(
-            self.state, self._device_images, idx_dev, keys
+            self.state, self._device_images, idx_dev, keys, w_dev
         )
         return metrics  # dict of per-step arrays
 
@@ -383,6 +428,18 @@ class SSPTrainer:
         spe = steps_per_epoch if steps_per_epoch is not None else n // eff
         if spe < 1:
             raise ValueError(f"dataset of {n} too small for effective batch {eff}")
+        # partial final accumulation group (ssp_vit2spn_tiny.py:215): one
+        # extra step whose pad indices carry weight 0
+        rem = n - spe * eff if steps_per_epoch is None else 0
+        use_tail = cfg.train_tail and rem > 0
+        if use_tail and self.dist_mode == "shard_map":
+            use_tail = False
+            self.logger.log(
+                "info",
+                message=f"shard_map mode drops the {rem}-sample epoch tail "
+                "(masked tail requires gspmd)",
+            )
+        n_trained = spe * eff + (rem if use_tail else 0)
 
         start_epoch = 0
         if checkpoint_path and ckpt.exists(checkpoint_path):
@@ -411,25 +468,41 @@ class SSPTrainer:
             # RandomSampler, which matches neither).
             perm = native.shuffled_indices(n, cfg.seed + epoch)
             t0 = time.perf_counter()
+            idx_mat = perm[: spe * eff].reshape(spe, eff)
+            w_mat = None
+            if use_tail:
+                # pad the tail row to a full group with weight-0 repeats
+                tail_idx = np.concatenate([perm[spe * eff:], perm[: eff - rem]])
+                idx_mat = np.concatenate([idx_mat, tail_idx[None]], axis=0)
+                w_mat = np.ones(idx_mat.shape, np.float32)
+                w_mat[-1, rem:] = 0.0
+            n_steps = idx_mat.shape[0]
             if on_device:
-                idx_mat = perm[: spe * eff].reshape(spe, eff)
                 keys = jax.vmap(
                     lambda s: rngmod.fold(key, epoch, s)
-                )(jnp.arange(spe))
-                metrics = self.train_epoch(idx_mat, keys)
+                )(jnp.arange(n_steps))
+                metrics = self.train_epoch(idx_mat, keys, w_mat)
             else:
                 # dataset too large for HBM staging: batches are assembled on
                 # host by the threaded native gather and shipped per step
                 steps = []
-                for s in range(spe):
-                    idx = perm[s * eff : (s + 1) * eff]
+                for s in range(n_steps):
                     step_key = rngmod.fold(key, epoch, s)
-                    batch = native.gather_batch(dataset.images, idx)
-                    steps.append(self.train_step(batch, step_key))
+                    batch = native.gather_batch(dataset.images, idx_mat[s])
+                    steps.append(self.train_step(
+                        batch, step_key,
+                        None if w_mat is None else w_mat[s],
+                    ))
                 metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *steps)
-            # the epoch's only host sync
-            avg = float(jnp.mean(metrics["loss"]))
-            pred_std = float(jnp.mean(metrics["pred_std"]))
+            # the epoch's only host sync. Per-step metrics average over the
+            # nominal `a` microbatches (the tail step's dead microbatches
+            # contribute zeros), so the epoch mean re-weights by the REAL
+            # microbatch count — matching the reference's mean over
+            # len(dataloader) batches (ssp_vit2spn_tiny.py:227-228).
+            a = cfg.accumulation_steps
+            n_micro = spe * a + (-(-rem // cfg.batch_size) if use_tail else 0)
+            avg = float(jnp.sum(metrics["loss"])) * a / n_micro
+            pred_std = float(jnp.sum(metrics["pred_std"])) * a / n_micro
             dt = time.perf_counter() - t0
             history.append(avg)
             self.logger.log(
@@ -437,7 +510,7 @@ class SSPTrainer:
                 epoch=epoch + 1,
                 loss=avg,
                 pred_std=pred_std,  # -> 0 signals representational collapse
-                images_per_sec=spe * eff / dt,
+                images_per_sec=n_trained / dt,
                 seconds=dt,
             )
             if checkpoint_path and (epoch + 1) % cfg.checkpoint_every_epochs == 0:
