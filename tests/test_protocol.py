@@ -136,3 +136,48 @@ def test_nan_fold_fallback(tiny_ft, tmp_path):
     events = [json.loads(l) for l in open(log_path)]
     warn = [e for e in events if e["event"] == "warning"]
     assert warn and "NaN" in warn[0]["message"]
+
+
+def test_multitrial_resume(tiny_ft, tmp_path):
+    """A killed multitrial run resumes at the next trial and produces the
+    SAME aggregates as one uninterrupted run (per-trial seeds are
+    deterministic)."""
+    import json
+
+    from vit2spn_tpu.evals.protocol import run_multitrial
+
+    cfg = _cfg(tiny_ft, num_trials=2)
+    ds = synthetic_dataset(split_sizes={"train": 96, "test": 48}, seed=9)
+    state = str(tmp_path / "mt.json")
+
+    # "killed after trial 0": run trial 0 only, with the SAME state key
+    cfg1 = dataclasses.replace(cfg, num_trials=2)
+    res1 = run_cv_protocol(cfg1, dataset=ds, logger=QUIET,
+                           trial_seed=cfg.seed + 0, per_fold_test=True)
+    from vit2spn_tpu.evals.protocol import _save_trial_state
+    _save_trial_state(state, cfg1, [{
+        "fold_metrics": res1.fold_test_metrics,
+        "fold_aucs": res1.fold_aucs,
+        "aggregate": res1.multitrial_aggregate(),
+    }])
+
+    events = []
+
+    class _Cap:
+        def log(self, event, **kw):
+            events.append(event)
+
+    resumed = run_multitrial(cfg, dataset=ds, logger=_Cap(),
+                             resume_path=state)
+    assert "multitrial_resume" in events
+    full = run_multitrial(cfg, dataset=ds, logger=QUIET)
+    np.testing.assert_allclose(
+        resumed["across_trials"]["accuracy"]["mean"],
+        full["across_trials"]["accuracy"]["mean"],
+    )
+    # state file now holds both trials
+    saved = json.load(open(state))
+    assert len(saved["trials"]) == 2
+    # a config change invalidates the state instead of mixing runs
+    from vit2spn_tpu.evals.protocol import _load_trial_state
+    assert _load_trial_state(state, dataclasses.replace(cfg, seed=7)) == []

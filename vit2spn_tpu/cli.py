@@ -146,7 +146,8 @@ def _run_experiment(cfg, args, out_dir, logger):
     backbone = _resolve_backbone(cfg, logger)
     if cfg.num_trials > 1:
         run_multitrial(cfg, backbone_params=backbone, logger=logger,
-                       epochs=args.epochs)
+                       epochs=args.epochs,
+                       resume_path=os.path.join(out_dir, "multitrial_state.json"))
     else:
         res = run_cv_protocol(cfg, backbone_params=backbone, logger=logger,
                               epochs=args.epochs)
@@ -240,12 +241,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    from vit2spn_tpu.core.runtime import enable_compilation_cache
+    from vit2spn_tpu.core.runtime import enable_compilation_cache, report_cache
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
     try:
-        return args.fn(args)
+        rc = args.fn(args)
+        report_cache(echo=lambda m: print(m, file=sys.stderr))
+        return rc
     except BrokenPipeError:
         # stdout consumer closed early (e.g. `vit2spn presets | head`);
         # redirect the fd so Python's interpreter-exit flush doesn't raise

@@ -11,17 +11,112 @@ drops from ~570 s to ~101 s (VALIDATION.md).
 
 from __future__ import annotations
 
+import logging
 import os
+
+# hit/miss observability: a cache that silently recompiles is worse than no
+# cache (round-2 finding: the warm ft-octmnist rerun recompiled fold 0 with
+# no visible signal). Counters come from jax's monitoring events; per-module
+# names from the jax._src.compiler DEBUG log lines.
+_STATS = {"hits": 0, "misses": 0, "hit_modules": [], "miss_modules": []}
+_INSTALLED = False
+
+
+def _on_event(event: str, **kw) -> None:
+    if event == "/jax/compilation_cache/cache_hits":
+        _STATS["hits"] += 1
+    elif event == "/jax/compilation_cache/cache_misses":
+        _STATS["misses"] += 1
+
+
+class _ModuleNameHandler(logging.Handler):
+    """Captures per-executable hit/miss module names from jax's compiler
+    logger (log_persistent_cache_hit/miss)."""
+
+    def emit(self, record: logging.LogRecord) -> None:
+        try:
+            msg = record.getMessage()
+        except Exception:  # pragma: no cover
+            return
+        if "Persistent compilation cache hit" in msg:
+            _STATS["hit_modules"].append(msg.split("'")[1])
+        elif "PERSISTENT COMPILATION CACHE MISS" in msg:
+            _STATS["miss_modules"].append(msg.split("'")[1])
+
+
+def _install_observers() -> None:
+    global _INSTALLED
+    if _INSTALLED:
+        return
+    from jax._src import monitoring
+
+    monitoring.register_event_listener(_on_event)
+    complog = logging.getLogger("jax._src.compiler")
+    complog.addHandler(_ModuleNameHandler(level=logging.DEBUG))
+    if complog.level > logging.DEBUG or complog.level == logging.NOTSET:
+        complog.setLevel(logging.DEBUG)
+    _INSTALLED = True
+
+
+def cache_stats() -> dict:
+    """Persistent-cache counters for THIS process: executables served from
+    the cache (hits) vs compiled and written (misses), with module names."""
+    return {
+        "hits": _STATS["hits"],
+        "misses": _STATS["misses"],
+        "hit_modules": list(_STATS["hit_modules"]),
+        "miss_modules": list(_STATS["miss_modules"]),
+    }
+
+
+def report_cache(echo=print) -> dict:
+    """One-line end-of-run cache summary (+ a loud note on misses so a
+    silently-bypassed cache is visible without a stopwatch)."""
+    s = cache_stats()
+    if s["hits"] or s["misses"]:
+        echo(
+            f"[compilation-cache] {s['hits']} hit(s), {s['misses']} miss(es)"
+            + (
+                "; missed: " + ", ".join(sorted(set(s["miss_modules"]))[:8])
+                if s["miss_modules"] else ""
+            )
+        )
+        if s["misses"] and s["hits"] == 0 and _warm_dir_nonempty():
+            echo(
+                "[compilation-cache] WARNING: cache directory is non-empty "
+                "but nothing hit — artifacts were rejected or keys changed "
+                "(rerun with JAX_EXPLAIN_CACHE_MISSES=1 for per-key detail)"
+            )
+    return s
+
+
+def _warm_dir_nonempty() -> bool:
+    import jax
+
+    d = jax.config.jax_compilation_cache_dir
+    try:
+        return bool(d) and any(os.scandir(d))
+    except OSError:
+        return False
 
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
-    """Enable JAX's persistent compilation cache at `path`.
+    """Enable JAX's persistent compilation cache at `path` + hit/miss
+    observability (cache_stats/report_cache).
 
     Respects an existing JAX_COMPILATION_CACHE_DIR environment setting (jax
-    reads it itself — nothing to do). Returns the cache directory in use,
-    or None if configuration failed (never fatal: the cache is an
-    optimization, not a requirement).
+    reads it itself — we still install the observers). Returns the cache
+    directory in use, or None if configuration failed (never fatal: the
+    cache is an optimization, not a requirement).
     """
+    try:
+        _install_observers()
+        if os.environ.get("JAX_EXPLAIN_CACHE_MISSES"):
+            import jax
+
+            jax.config.update("jax_explain_cache_misses", True)
+    except Exception:  # pragma: no cover - observability is best-effort
+        pass
     env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if env:
         return env

@@ -190,6 +190,36 @@ def run_cv_protocol(
     )
 
 
+def _load_trial_state(path: str, cfg: FineTuneConfig) -> list:
+    """Completed-trial records from a previous (killed) run — resumable
+    multitrial. The file is keyed by (seed, k_folds, num_trials) so a
+    config change invalidates it rather than silently mixing runs."""
+    import json
+    import os
+
+    if not (path and os.path.exists(path)):
+        return []
+    with open(path) as f:
+        state = json.load(f)
+    key = {"seed": cfg.seed, "k_folds": cfg.k_folds,
+           "num_trials": cfg.num_trials, "dataset": cfg.data.name}
+    if state.get("key") != key:
+        return []
+    return state.get("trials", [])
+
+
+def _save_trial_state(path: str, cfg: FineTuneConfig, trials: list) -> None:
+    import json
+    import os
+
+    key = {"seed": cfg.seed, "k_folds": cfg.k_folds,
+           "num_trials": cfg.num_trials, "dataset": cfg.data.name}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"key": key, "trials": trials}, f)
+    os.replace(tmp, path)  # atomic like train/checkpoint.py
+
+
 def run_multitrial(
     cfg: FineTuneConfig,
     dataset: Optional[Dataset] = None,
@@ -197,6 +227,7 @@ def run_multitrial(
     logger: Optional[MetricLogger] = None,
     epochs: Optional[int] = None,
     mesh=None,
+    resume_path: Optional[str] = None,
 ) -> dict:
     """multitrial/*: one run evaluates EVERY fold's model on the held-out test
     set and reports mean±std ACROSS THE FOLDS of top-1 / sensitivity /
@@ -205,10 +236,18 @@ def run_multitrial(
 
     `cfg.num_trials > 1` repeats that whole run with shifted seeds (the
     reference's "5 retraining runs", README.md:46, are manual re-executions);
-    `across_trials` then reports mean±std of the per-trial means."""
+    `across_trials` then reports mean±std of the per-trial means.
+
+    `resume_path`: JSON file persisting each completed trial — a killed run
+    resumes at the next trial instead of repeating hours of fine-tuning
+    (trial results are deterministic given the per-trial seed, so resumed
+    aggregates equal a single uninterrupted run's)."""
     logger = logger or MetricLogger(echo=True)
-    trials = []
-    for trial in range(cfg.num_trials):
+    trials = _load_trial_state(resume_path, cfg) if resume_path else []
+    if trials:
+        logger.log("multitrial_resume", completed=len(trials),
+                   total=cfg.num_trials, path=resume_path)
+    for trial in range(len(trials), cfg.num_trials):
         res = run_cv_protocol(
             cfg, dataset, backbone_params, logger, epochs,
             trial_seed=cfg.seed + trial, mesh=mesh, per_fold_test=True,
@@ -222,6 +261,8 @@ def run_multitrial(
         logger.log("trial", trial=trial, **{
             f"{k}_{s}": v[s] for k, v in agg.items() for s in ("mean", "std")
         })
+        if resume_path:
+            _save_trial_state(resume_path, cfg, trials)
     out = {"trials": trials, "aggregate": trials[0]["aggregate"]}
     if cfg.num_trials > 1:
         keys = trials[0]["aggregate"].keys()
