@@ -11,37 +11,24 @@ drops from ~570 s to ~101 s (VALIDATION.md).
 
 from __future__ import annotations
 
-import logging
 import os
 
 # hit/miss observability: a cache that silently recompiles is worse than no
 # cache (round-2 finding: the warm ft-octmnist rerun recompiled fold 0 with
-# no visible signal). Counters come from jax's monitoring events; per-module
-# names from the jax._src.compiler DEBUG log lines.
-_STATS = {"hits": 0, "misses": 0, "hit_modules": [], "miss_modules": []}
+# no visible signal). Per-module names come from the jax._src.compiler log
+# points (every lookup); the monitoring-event counters only fire for
+# compiles long enough to be persisted, so they are the fallback when the
+# private log-point wrap is unavailable.
+_STATS = {"event_hits": 0, "event_misses": 0,
+          "hit_modules": [], "miss_modules": []}
 _INSTALLED = False
 
 
 def _on_event(event: str, **kw) -> None:
     if event == "/jax/compilation_cache/cache_hits":
-        _STATS["hits"] += 1
+        _STATS["event_hits"] += 1
     elif event == "/jax/compilation_cache/cache_misses":
-        _STATS["misses"] += 1
-
-
-class _ModuleNameHandler(logging.Handler):
-    """Captures per-executable hit/miss module names from jax's compiler
-    logger (log_persistent_cache_hit/miss)."""
-
-    def emit(self, record: logging.LogRecord) -> None:
-        try:
-            msg = record.getMessage()
-        except Exception:  # pragma: no cover
-            return
-        if "Persistent compilation cache hit" in msg:
-            _STATS["hit_modules"].append(msg.split("'")[1])
-        elif "PERSISTENT COMPILATION CACHE MISS" in msg:
-            _STATS["miss_modules"].append(msg.split("'")[1])
+        _STATS["event_misses"] += 1
 
 
 def _install_observers() -> None:
@@ -51,21 +38,44 @@ def _install_observers() -> None:
     from jax._src import monitoring
 
     monitoring.register_event_listener(_on_event)
-    complog = logging.getLogger("jax._src.compiler")
-    complog.addHandler(_ModuleNameHandler(level=logging.DEBUG))
-    if complog.level > logging.DEBUG or complog.level == logging.NOTSET:
-        complog.setLevel(logging.DEBUG)
+    # per-executable names: wrap the compiler's hit/miss log points rather
+    # than forcing the logger to DEBUG (which floods stderr under handlers
+    # configured by the runtime). Private API — guarded, counters above
+    # still work without it.
+    try:
+        from jax._src import compiler as _compiler
+
+        _orig_hit = _compiler.log_persistent_cache_hit
+        _orig_miss = _compiler.log_persistent_cache_miss
+
+        def _hit(module_name, cache_key):
+            _STATS["hit_modules"].append(str(module_name))
+            _orig_hit(module_name, cache_key)
+
+        def _miss(module_name, cache_key):
+            _STATS["miss_modules"].append(str(module_name))
+            _orig_miss(module_name, cache_key)
+
+        _compiler.log_persistent_cache_hit = _hit
+        _compiler.log_persistent_cache_miss = _miss
+    except Exception:  # pragma: no cover - names are best-effort
+        pass
     _INSTALLED = True
 
 
 def cache_stats() -> dict:
     """Persistent-cache counters for THIS process: executables served from
-    the cache (hits) vs compiled and written (misses), with module names."""
+    the cache (hits) vs compiled (misses), with module names. Counts derive
+    from the per-lookup module lists so they match the names shown; if the
+    log-point wrap failed, fall back to jax's monitoring events (which only
+    count compiles long enough to be persisted)."""
+    hit_m, miss_m = _STATS["hit_modules"], _STATS["miss_modules"]
+    wrapped = bool(hit_m or miss_m)
     return {
-        "hits": _STATS["hits"],
-        "misses": _STATS["misses"],
-        "hit_modules": list(_STATS["hit_modules"]),
-        "miss_modules": list(_STATS["miss_modules"]),
+        "hits": len(hit_m) if wrapped else _STATS["event_hits"],
+        "misses": len(miss_m) if wrapped else _STATS["event_misses"],
+        "hit_modules": list(hit_m),
+        "miss_modules": list(miss_m),
     }
 
 
