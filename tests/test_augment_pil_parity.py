@@ -121,3 +121,41 @@ def test_blur_matches_pil_gaussian(src_img):
     tmp = np.pad(tmp, ((0, 0), (1, 1)), mode="reflect")
     ref = k[0]*tmp[:, :-2] + k[1]*tmp[:, 1:-1] + k[2]*tmp[:, 2:]
     assert np.abs(ours - ref).mean() < 5e-3
+
+
+def test_nonsquare_resize_matches_pil_squash(src_img):
+    """Non-square sources squash to square like torchvision Resize((s,s))
+    (ucsdoct_ft_vit2spn.py:30-43): the disabled-aug path resizes (H, W)
+    directly to (out, out)."""
+    nonsq = src_img[:, :21]  # (28, 21)
+    cfg = dataclasses.replace(_geom_only_cfg(), enabled=False)
+    ours = _ours(cfg, nonsq)
+    pil = np.asarray(
+        PIL.fromarray(nonsq).resize((224, 224), PIL.BILINEAR),
+        dtype=np.float32,
+    ) / 255.0
+    assert np.abs(ours - pil).mean() < 5e-3
+    assert np.abs(ours - pil).max() < 5e-2
+
+
+def test_nonsquare_aug_equals_presquashed(src_img):
+    """With augs ON, a non-square source must produce EXACTLY the result of
+    first squashing it to the square band-limit size — non-square handling
+    lives entirely in _band_limit's separable squash, same key → same draw."""
+    import vit2spn_tpu.data.augment as aug_mod
+
+    nonsq = jnp.asarray(src_img[None, :, :21, None])  # (1, 28, 21, 1)
+    cfg = dataclasses.replace(
+        _geom_only_cfg(), rotation_degrees=15.0, hflip_prob=0.5,
+    )
+    key = jax.random.key(7)
+    out_nonsq = augment_batch(key, nonsq, cfg)
+
+    gray = aug_mod._to_gray(nonsq).astype(jnp.float32)
+    sq = aug_mod._separable_resize(gray, 28)  # min(band_limit, max(h, w))
+    out_sq = augment_batch(
+        key, (np.asarray(sq, np.float32)[..., None] * 255).astype(np.uint8),
+        cfg,
+    )
+    # not bitwise (uint8 round-trip of the pre-squash), but tightly bounded
+    assert np.abs(np.asarray(out_nonsq) - np.asarray(out_sq)).max() < 2e-2

@@ -168,3 +168,28 @@ def test_array_dataset_image_properties_degenerate_ok():
     assert props["min_width"] == props["max_width"] == 28
     assert props["avg_aspect_ratio"] == 1.0
     assert "avg_file_size_kb" not in props
+
+
+def test_synthetic_nonsquare_shape():
+    """image_size may be (H, W) — non-square stand-ins for raw scan shapes
+    (UCSD JPEGs are e.g. 496x512)."""
+    ds = synthetic_dataset(image_size=(48, 64), split_sizes={"all": 6})
+    assert ds.images.shape == (6, 48, 64, 1)
+    # class signal still present: different labels, different frequencies
+    assert len(set(ds.labels)) > 1
+
+
+def test_folder_dataset_nonsquare_decode(tmp_path):
+    """source_size=(H, W) keeps a non-square host decode shape; the device
+    augment path squashes to square (torchvision Resize((s,s)) semantics)."""
+    PIL = pytest.importorskip("PIL.Image")
+    root = tmp_path / "octird"
+    rng = np.random.default_rng(0)
+    for cls in ("amd", "csr"):
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = rng.integers(0, 255, (40, 60), dtype=np.uint8)
+            PIL.fromarray(arr).save(d / f"img{i}.png")
+    ds = load_dataset("octid", root=str(tmp_path), source_size=(24, 32))
+    assert ds.images.shape == (4, 24, 32, 1)

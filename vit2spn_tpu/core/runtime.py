@@ -91,7 +91,10 @@ def report_cache(echo=print) -> dict:
                 if s["miss_modules"] else ""
             )
         )
-        if s["misses"] and s["hits"] == 0 and _warm_dir_nonempty():
+        # warn on the event counter: it fires only for compiles long enough
+        # to be persisted, so one trivial sub-threshold miss (which could
+        # never have hit) doesn't cry wolf
+        if _STATS["event_misses"] and s["hits"] == 0 and _warm_dir_nonempty():
             echo(
                 "[compilation-cache] WARNING: cache directory is non-empty "
                 "but nothing hit — artifacts were rejected or keys changed "

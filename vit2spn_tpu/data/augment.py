@@ -178,9 +178,14 @@ def _warp_batch(
 
 
 def _band_limit(imgs: jax.Array, max_src: int = 96) -> jax.Array:
-    """Pre-shrink large sources separably so tent matrices stay small."""
-    if imgs.shape[1] > max_src or imgs.shape[2] > max_src:
-        return _separable_resize(imgs, max_src)
+    """Pre-shrink large sources separably so tent matrices stay small, and
+    squash non-square sources to square — torchvision's `Resize((s, s))`
+    aspect-squash semantics (octird_ft_vit2spn.py:61, ucsdoct:30), which the
+    square-only `_warp_batch` then consumes. Real OCTID/UCSD scans are
+    non-square (e.g. 496x512); the device path takes them natively."""
+    h, w = imgs.shape[1], imgs.shape[2]
+    if h != w or h > max_src or w > max_src:
+        return _separable_resize(imgs, min(max_src, max(h, w)))
     return imgs
 
 

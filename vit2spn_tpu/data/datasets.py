@@ -148,13 +148,19 @@ def load_octmnist(root: str = "./datasets", allow_synthetic: bool = True, **_) -
 # Folder datasets (OCTID / UCSD-OCT)
 # --------------------------------------------------------------------------
 
-def _load_folder(root_dir: str, name: str, source_size: int,
+def _load_folder(root_dir: str, name: str, source_size: "int | tuple",
                  class_names: Optional[List[str]] = None) -> Dataset:
     """torchvision-ImageFolder-equivalent: root/<class>/<image>. Classes in
     sorted order (ImageFolder semantics). Decoded to grayscale uint8 at
-    `source_size` on host (device augs warp from there)."""
+    `source_size` on host (device augs warp from there). An (H, W) tuple
+    keeps a non-square decode shape — closer to the raw scans (e.g. UCSD
+    496x512) than the square squash; the device pipeline squashes to square
+    inside the augment band-limit (torchvision Resize((s,s)) semantics,
+    ucsdoct_ft_vit2spn.py:30-43)."""
     from PIL import Image
 
+    sh, sw = ((source_size, source_size) if isinstance(source_size, int)
+              else tuple(source_size))
     classes = class_names or sorted(
         d for d in os.listdir(root_dir)
         if os.path.isdir(os.path.join(root_dir, d))
@@ -169,9 +175,8 @@ def _load_folder(root_dir: str, name: str, source_size: int,
             fpath = os.path.join(cdir, fname)
             with Image.open(fpath) as im:
                 raw_sizes.append(im.size)  # (width, height) pre-resize
-                im = im.convert("L").resize(
-                    (source_size, source_size), Image.BILINEAR
-                )
+                # PIL's resize takes (width, height)
+                im = im.convert("L").resize((sw, sh), Image.BILINEAR)
                 images.append(np.asarray(im, dtype=np.uint8)[..., None])
             raw_kb.append(os.path.getsize(fpath) / 1024.0)
             labels.append(ci)
@@ -232,7 +237,7 @@ def synthetic_dataset(
     name: str = "synthetic",
     num_classes: int = 4,
     class_names: Optional[List[str]] = None,
-    image_size: int = 28,
+    image_size: "int | tuple" = 28,
     channels: int = 1,
     split_sizes: Optional[Dict[str, int]] = None,
     seed: int = 0,
@@ -241,20 +246,26 @@ def synthetic_dataset(
     """Per-class sinusoidal texture + speckle noise. Class identity is coded
     in the spatial FREQUENCY (rotation/flip-invariant) with random
     orientation/phase per sample, so the strong geometric augmentations do
-    not destroy the label signal — fine-tuning can genuinely learn it."""
+    not destroy the label signal — fine-tuning can genuinely learn it.
+
+    `image_size` may be an (H, W) tuple for non-square stand-ins matching
+    real scan shapes (UCSD JPEGs are e.g. 496x512, octmnist_dataset.py:27-78
+    raw-size analysis)."""
     split_sizes = split_sizes or {"train": 2048, "val": 256, "test": 256}
     rng = np.random.default_rng(seed)
     total = sum(split_sizes.values())
-    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32) / image_size
+    ih, iw = ((image_size, image_size) if isinstance(image_size, int)
+              else tuple(image_size))
+    yy, xx = np.mgrid[0:ih, 0:iw].astype(np.float32) / max(ih, iw)
 
     labels = rng.integers(0, num_classes, size=total)
-    images = np.empty((total, image_size, image_size, channels), dtype=np.uint8)
+    images = np.empty((total, ih, iw, channels), dtype=np.uint8)
     for i, lab in enumerate(labels):
         theta = rng.uniform(0, np.pi)
         freq = 2.0 * (1.8 ** lab)  # geometric spacing survives +-20% scale aug
         phase = rng.uniform(0, 2 * np.pi)
         wave = np.sin(2 * np.pi * freq * (xx * np.cos(theta) + yy * np.sin(theta)) + phase)
-        speckle = rng.normal(0, 0.25, size=(image_size, image_size))
+        speckle = rng.normal(0, 0.25, size=(ih, iw))
         img = 0.5 + 0.35 * wave + 0.1 * speckle
         img = np.clip(img, 0, 1)
         images[i] = (img[..., None] * 255).astype(np.uint8).repeat(channels, axis=-1)
