@@ -28,6 +28,11 @@ TPU-native execution model:
   * Jitted functions are built ONCE per (config, num_classes, mesh) via an
     lru_cache — the reference protocol re-creates the model every fold
     (octmnist_ft_vit2spn.py:189) and a naive port would recompile 10x.
+  * Tensor parallelism (mesh.model_parallel > 1): the train state —
+    backbone, classifier head and adam mu/nu — is genuinely partitioned
+    Megatron-style over the model axis (parallel/tp.py), same as the SSP
+    trainer; the fused Pallas kernel is DP-only so TP dispatches to XLA
+    attention. The reference has no TP at all (SURVEY.md §2.2).
 """
 
 from __future__ import annotations
@@ -98,6 +103,34 @@ def _build_finetune_fns(
         if cfg.mesh.data_axis in mesh.axis_names
         else mesh.axis_names[0]
     )
+    # tensor parallelism (parallel/tp.py): when the mesh carries a model
+    # axis >1, the train state (backbone + head + adam mu/nu) is genuinely
+    # partitioned Megatron-style; the leaf shapes are derived abstractly so
+    # the sharding tree can live in this lru-cached builder.
+    model_axis = (
+        cfg.mesh.model_axis
+        if cfg.mesh.model_axis in mesh.axis_names
+        else None
+    )
+    if model_axis and mesh.shape[model_axis] > 1:
+        from vit2spn_tpu.parallel.tp import tp_state_shardings
+
+        def _abstract_state():
+            key = jax.random.key(0)
+            backbone = init_vit(key, cfg.vit)
+            head = init_classifier_head(
+                key, cfg.vit.hidden_size, cfg.head_hidden, num_classes
+            )
+            opt_state = tx.init((backbone, head))
+            return FineTuneState(
+                backbone, head, init_bn_state(cfg.head_hidden), opt_state
+            )
+
+        state_sharding = tp_state_shardings(
+            mesh, jax.eval_shape(_abstract_state), model_axis
+        )
+    else:
+        state_sharding = rep
 
     # raw-grayscale batches + normalize folded into the patch embed (exact;
     # models/vit.py::fold_patch_embed_gray) — the (B, 224, 224, 3) tensors
@@ -187,16 +220,16 @@ def _build_finetune_fns(
     idx2 = NamedSharding(mesh, PartitionSpec(None, data_axis))
     train_epoch_jit = jax.jit(
         train_epoch,
-        in_shardings=(rep, rep, rep, idx2, rep, rep, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(state_sharding, rep, rep, idx2, rep, rep, rep),
+        out_shardings=(state_sharding, rep),
         donate_argnums=(0,),
     )
     eval_pass_jit = jax.jit(
         eval_pass,
-        in_shardings=(rep, rep, rep, idx2, idx2, rep, rep),
+        in_shardings=(state_sharding, rep, rep, idx2, idx2, rep, rep),
         out_shardings=(rep, rep),
     )
-    return tx, train_epoch_jit, eval_pass_jit
+    return tx, train_epoch_jit, eval_pass_jit, state_sharding
 
 
 class FineTuneTrainer:
@@ -223,8 +256,29 @@ class FineTuneTrainer:
             from vit2spn_tpu.ops.attention import default_model_impl
 
             attn_impl = default_model_impl()
+        # tensor parallelism mirrors the SSP trainer (parallel/tp.py): the
+        # fused whole-backbone Pallas kernel is DP-only, so TP runs dispatch
+        # to the XLA attention path.
+        model_axis = (
+            cfg.mesh.model_axis
+            if cfg.mesh.model_axis in self.mesh.axis_names
+            else None
+        )
+        self._tp = self.mesh.shape[model_axis] if model_axis else 1
+        if self._tp > 1 and attn_impl == "fused":
+            attn_impl = None
+            self.logger.log(
+                "info",
+                message="tensor parallel > 1: using XLA attention "
+                "(fused block kernel is DP-only)",
+            )
 
-        self.tx, self._train_epoch, self._eval_pass = _build_finetune_fns(
+        (
+            self.tx,
+            self._train_epoch,
+            self._eval_pass,
+            self._state_sharding,
+        ) = _build_finetune_fns(
             cfg, num_classes, self.mesh, eval_augment, attn_impl
         )
 
@@ -242,7 +296,7 @@ class FineTuneTrainer:
         state = FineTuneState(backbone, head, init_bn_state(cfg.head_hidden), opt_state)
 
         self._rep = replicated_sharding(self.mesh)
-        self.state = jax.device_put(state, self._rep)
+        self.state = jax.device_put(state, self._state_sharding)
         self._train_key = rngmod.fold(rngmod.root_key(cfg.seed), 7919, fold)
         self._cache = {}  # dataset id -> device arrays
 
@@ -337,5 +391,5 @@ class FineTuneTrainer:
                 break
 
         if stopper.best_state is not None:  # restore best weights (:126)
-            self.state = jax.device_put(stopper.best_state, self._rep)
+            self.state = jax.device_put(stopper.best_state, self._state_sharding)
         return stopper.best
