@@ -82,3 +82,34 @@ def test_cli_plot_radar(tmp_path):
     rc = main(["plot", "radar", "--kind", "pt-scratch", "--out", out])
     assert rc == 0
     assert os.path.getsize(out) > 0
+
+
+def test_cli_convert_roundtrip(tmp_path):
+    """`vit2spn convert` moves a backbone export .npz -> reference .pth ->
+    .npz with every leaf preserved bit-exactly (the inter-script checkpoint
+    contract, ssp_vit2spn_tiny.py:246 / octmnist_ft_vit2spn.py:190)."""
+    pytest.importorskip("torch")
+    import jax
+
+    from vit2spn_tpu.train import checkpoint as ckpt
+    from vit2spn_tpu.models.vit import init_vit
+    from vit2spn_tpu.core.config import ViTConfig
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=24,
+                    num_layers=2, num_heads=2, mlp_dim=48)
+    params = init_vit(jax.random.key(5), cfg)
+    src = str(tmp_path / "export.npz")
+    ckpt.save(src, jax.device_get(params), {"format": "vit_backbone"})
+
+    ov = [f"vit.{k}={getattr(cfg, k)}" for k in
+          ("image_size", "patch_size", "hidden_size", "num_layers",
+           "num_heads", "mlp_dim")]
+    pth = str(tmp_path / "export.pth")
+    back = str(tmp_path / "back.npz")
+    assert main(["convert", src, pth, *sum((["-o", o] for o in ov), [])]) == 0
+    assert main(["convert", pth, back, *sum((["-o", o] for o in ov), [])]) == 0
+
+    a = ckpt.restore(src, init_vit(jax.random.key(0), cfg))
+    b = ckpt.restore(back, init_vit(jax.random.key(0), cfg))
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

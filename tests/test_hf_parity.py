@@ -126,3 +126,65 @@ def test_local_weight_file_loading(hf_pair, tmp_path, monkeypatch):
         np.asarray(jax.tree.leaves(got3)[0]), np.asarray(jax.tree.leaves(params)[0])
     )
     assert load_local_state(npz_path)  # direct API also exposed
+
+
+def test_inverse_conversion_roundtrip(hf_pair):
+    """convert_to_hf_state_dict is the exact inverse of convert_hf_state_dict
+    — every HF tensor survives a there-and-back round trip bit-exactly."""
+    from vit2spn_tpu.models.hf_convert import convert_to_hf_state_dict
+
+    cfg, model, params = hf_pair
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    back = convert_to_hf_state_dict(params, cfg)
+    assert set(back) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(back[k], state[k].astype(np.float32))
+
+
+def test_reference_pth_export_strict_load(hf_pair, tmp_path):
+    """Our backbone export feeds the reference's fine-tune scripts: a
+    ViTBackbone-shaped torch module (vit.-prefixed ViTModel, matching
+    octmnist_ft_vit2spn.py:63-71) loads the exported .pth with the default
+    strict=True (:190), and its features match our forward."""
+    from vit2spn_tpu.models.hf_convert import export_reference_pth
+
+    cfg, model, params = hf_pair
+    pth = str(tmp_path / "octmnist_vit2spn_tiny_model.pth")
+    export_reference_pth(params, cfg, pth)
+
+    class ViTBackbone(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.vit = transformers.ViTModel(model.config)
+
+        def forward(self, x):
+            return self.vit(x).hidden_states[-1].mean(dim=1)
+
+    backbone = ViTBackbone()
+    backbone.load_state_dict(torch.load(pth, weights_only=True))  # strict
+    backbone.eval()
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = backbone(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    ours = vit_features(params, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
+
+
+def test_reference_pth_ingestion(hf_pair, tmp_path):
+    """Migration path: a reference user's existing .pth SSP export
+    (vit.-prefixed torch state dict, ssp_vit2spn_tiny.py:246) loads through
+    load_local_state/load_pretrained_vit_tiny into our param tree."""
+    import jax
+
+    from vit2spn_tpu.models.hf_convert import load_pretrained_vit_tiny
+
+    cfg, model, params = hf_pair
+    pth = str(tmp_path / "ref_export.pth")
+    torch.save(
+        {f"vit.{k}": v for k, v in model.state_dict().items()}, pth
+    )
+    got = load_pretrained_vit_tiny(cfg, path=pth)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -11,6 +11,9 @@ One runnable command per reference script (SURVEY.md section 7):
   vit2spn data stats octmnist             == preprocessing/octmnist_dataset.py
   vit2spn data merge-ucsd ./datasets/ucsdoct  == preprocessing/merge_ucsdoct.py
   vit2spn plot radar --kind pt-scratch    == plotting/pt_scratch_radar.py
+  vit2spn convert export.npz export.pth   backbone interop with the
+                                          reference's .pth contract (both
+                                          directions)
 
 Config overrides use dotted keys: `vit2spn run ssp -o epochs=5 -o
 data.root=/data -o mesh.model_parallel=2`.
@@ -24,6 +27,7 @@ import os
 import sys
 
 import jax
+import numpy as np
 
 from vit2spn_tpu.core.config import FineTuneConfig, SSPConfig, replace
 from vit2spn_tpu.core.presets import PRESETS, get_preset
@@ -87,6 +91,16 @@ def _resolve_backbone(cfg: FineTuneConfig, logger):
             return load_pretrained_vit_tiny(cfg.vit)
         except Exception:  # noqa: BLE001
             return None
+    if path.endswith((".pth", ".pt", ".safetensors")):
+        # the reference's own export artifact (torch state dict with
+        # `vit.`-prefixed HF keys, ssp_vit2spn_tiny.py:246) — migration path
+        # for users with existing reference checkpoints
+        from vit2spn_tpu.models.hf_convert import (
+            convert_hf_state_dict,
+            load_local_state,
+        )
+
+        return convert_hf_state_dict(load_local_state(path), cfg.vit)
     template = init_vit(jax.random.key(0), cfg.vit)
     return ckpt.restore(path, template, strict=False)
 
@@ -204,6 +218,41 @@ def cmd_plot(args):
     return 0
 
 
+def cmd_convert(args):
+    """Backbone checkpoint interop: convert between our .npz export format
+    and the reference's torch .pth inter-script contract, either direction
+    (ssp_vit2spn_tiny.py:246 <-> octmnist_ft_vit2spn.py:190)."""
+    from vit2spn_tpu.models.hf_convert import (
+        convert_hf_state_dict,
+        export_reference_pth,
+        load_local_state,
+    )
+    from vit2spn_tpu.models.vit import init_vit
+    from vit2spn_tpu.train import checkpoint as ckpt
+
+    vit_cfg = _apply_overrides(SSPConfig(), args.override).vit
+    src, dst = args.src, args.dst
+
+    if src.endswith(".npz") and any("/" in k for k in np.load(src).files):
+        # our path-flattened pytree export
+        params = ckpt.restore(src, init_vit(jax.random.key(0), vit_cfg),
+                              strict=False)
+    else:  # HF-named state dict: .pth/.pt/.safetensors or an HF-keyed .npz
+        params = convert_hf_state_dict(load_local_state(src), vit_cfg)
+
+    if dst.endswith((".pth", ".pt")):
+        export_reference_pth(jax.device_get(params), vit_cfg, dst)
+    elif dst.endswith(".npz"):
+        ckpt.save(dst, jax.device_get(params),
+                  {"format": "vit_backbone", "source": src})
+    else:
+        print(f"unsupported output format {dst!r} (.pth, .pt or .npz)",
+              file=sys.stderr)
+        return 2
+    print(f"converted {src} -> {dst}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vit2spn", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -231,6 +280,16 @@ def build_parser() -> argparse.ArgumentParser:
     mg = dsub.add_parser("merge-ucsd")
     mg.add_argument("root")
     d.set_defaults(fn=cmd_data)
+
+    cv = sub.add_parser(
+        "convert",
+        help="convert backbone checkpoints (.npz <-> reference torch .pth)",
+    )
+    cv.add_argument("src")
+    cv.add_argument("dst")
+    cv.add_argument("-o", "--override", action="append",
+                    help="dotted config override, e.g. vit.hidden_size=192")
+    cv.set_defaults(fn=cmd_convert)
 
     pl = sub.add_parser("plot", help="reporting figures")
     pl.add_argument("plot_cmd", choices=["radar"])

@@ -1,4 +1,4 @@
-"""HF `transformers` ViT checkpoint -> our param pytree.
+"""HF `transformers` ViT checkpoint <-> our param pytree.
 
 The reference initializes every backbone from
 `ViTModel.from_pretrained("WinKawaks/vit-tiny-patch16-224")`
@@ -24,6 +24,19 @@ In this build environment the pretrained checkpoint itself is not downloadable
 
 It raises if neither is available — callers fall back to random init with a
 warning.
+
+Migration interop (both directions of the reference's inter-script .pth
+contract, SURVEY.md §1 checkpoint dataflow):
+
+  * `load_local_state` also reads torch `.pth`/`.pt` files, so a reference
+    user's existing SSP backbone export (`torch.save(online_network_1.
+    state_dict())`, ssp_vit2spn_tiny.py:246 — `vit.`-prefixed ViTModel keys)
+    feeds our fine-tune protocols directly via `-o init_path=...`.
+  * `convert_to_hf_state_dict` is the exact inverse of
+    `convert_hf_state_dict`; `export_reference_pth` writes our backbone as a
+    `.pth` that `ViTBackbone().load_state_dict(torch.load(p))` accepts with
+    the default strict=True (octmnist_ft_vit2spn.py:190) — so our SSP
+    pretrains feed the reference's fine-tune scripts unmodified.
 """
 
 from __future__ import annotations
@@ -101,6 +114,66 @@ def convert_hf_state_dict(state: dict, cfg: ViTConfig) -> dict:
     return {k: _to_f32(v) for k, v in params.items()}
 
 
+def convert_to_hf_state_dict(params: dict, cfg: ViTConfig, prefix: str = "") -> dict:
+    """Exact inverse of `convert_hf_state_dict`: our param pytree -> an
+    HF-ViTModel-named state dict of numpy arrays (optionally key-prefixed,
+    e.g. `vit.` for the reference's ViTBackbone wrapper)."""
+    d = cfg.hidden_size
+    p, c = cfg.patch_size, cfg.num_channels
+    out = {}
+
+    def put(name, arr):
+        out[prefix + name] = np.asarray(arr, dtype=np.float32)
+
+    # (P*P*C, D) matmul kernel -> conv kernel (D, C, P, P); inverse of the
+    # (ph, pw, c) patchify flatten order
+    kernel = np.asarray(params["patch_embed"]["kernel"])
+    put(
+        "embeddings.patch_embeddings.projection.weight",
+        kernel.reshape(p, p, c, d).transpose(3, 2, 0, 1),
+    )
+    put("embeddings.patch_embeddings.projection.bias", params["patch_embed"]["bias"])
+    put("embeddings.cls_token", params["cls_token"])
+    put("embeddings.position_embeddings", params["pos_embed"])
+    put("layernorm.weight", params["final_ln"]["scale"])
+    put("layernorm.bias", params["final_ln"]["bias"])
+    if "pooler" in params:
+        put("pooler.dense.weight", np.asarray(params["pooler"]["w"]).T)
+        put("pooler.dense.bias", params["pooler"]["b"])
+
+    blocks = params["blocks"]
+    for i in range(cfg.num_layers):
+        pr = f"encoder.layer.{i}"
+        wqkv = np.asarray(blocks["wqkv"])[i]  # (d, 3d), q|k|v on the out dim
+        bqkv = np.asarray(blocks["bqkv"])[i]
+        for j, name in enumerate(("query", "key", "value")):
+            put(f"{pr}.attention.attention.{name}.weight",
+                wqkv[:, j * d:(j + 1) * d].T)
+            put(f"{pr}.attention.attention.{name}.bias", bqkv[j * d:(j + 1) * d])
+        put(f"{pr}.attention.output.dense.weight", np.asarray(blocks["wo"])[i].T)
+        put(f"{pr}.attention.output.dense.bias", np.asarray(blocks["bo"])[i])
+        put(f"{pr}.intermediate.dense.weight", np.asarray(blocks["w1"])[i].T)
+        put(f"{pr}.intermediate.dense.bias", np.asarray(blocks["b1"])[i])
+        put(f"{pr}.output.dense.weight", np.asarray(blocks["w2"])[i].T)
+        put(f"{pr}.output.dense.bias", np.asarray(blocks["b2"])[i])
+        put(f"{pr}.layernorm_before.weight", np.asarray(blocks["ln1_scale"])[i])
+        put(f"{pr}.layernorm_before.bias", np.asarray(blocks["ln1_bias"])[i])
+        put(f"{pr}.layernorm_after.weight", np.asarray(blocks["ln2_scale"])[i])
+        put(f"{pr}.layernorm_after.bias", np.asarray(blocks["ln2_bias"])[i])
+    return out
+
+
+def export_reference_pth(params: dict, cfg: ViTConfig, path: str) -> None:
+    """Write our backbone params as the reference's .pth export artifact:
+    a torch state dict with `vit.`-prefixed HF ViTModel keys, loadable by
+    `ViTBackbone().load_state_dict(torch.load(path))` with strict=True
+    (octmnist_ft_vit2spn.py:190)."""
+    import torch  # lazy: CPU torch is available but heavy
+
+    state = convert_to_hf_state_dict(params, cfg, prefix="vit.")
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in state.items()}, path)
+
+
 def _to_f32(tree):
     if isinstance(tree, dict):
         return {k: _to_f32(v) for k, v in tree.items()}
@@ -148,12 +221,25 @@ def _strip_prefix(state: dict) -> dict:
 
 
 def load_local_state(path: str) -> dict:
-    """name -> numpy array from a .safetensors / .npz state-dict file."""
+    """name -> numpy array from a .safetensors / .npz / torch .pth state-dict
+    file (the latter covers the reference's own SSP exports,
+    ssp_vit2spn_tiny.py:246)."""
     if path.endswith(".npz"):
         return _strip_prefix(dict(np.load(path)))
     if path.endswith(".safetensors"):
         return _strip_prefix(read_safetensors(path))
-    raise ValueError(f"unsupported weight file {path!r} (.safetensors or .npz)")
+    if path.endswith((".pth", ".pt")):
+        import torch  # lazy: CPU torch is available but heavy
+
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(state, "state_dict"):  # whole-module saves
+            state = state.state_dict()
+        return _strip_prefix(
+            {k: v.detach().cpu().numpy() for k, v in state.items()}
+        )
+    raise ValueError(
+        f"unsupported weight file {path!r} (.safetensors, .npz, .pth or .pt)"
+    )
 
 
 def load_pretrained_vit_tiny(
