@@ -113,3 +113,29 @@ def test_cli_convert_roundtrip(tmp_path):
     b = ckpt.restore(back, init_vit(jax.random.key(0), cfg))
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_cli_extract(tmp_path):
+    """`vit2spn extract`: the extract_online_features surface
+    (dsn_ssn/ssp_single.py:140-156) — eval-mode online prediction-head
+    features over a dataset, written to .npz with labels."""
+    out = str(tmp_path / "feats.npz")
+    tiny = ["-o", "data.name=synthetic", "-o", "batch_size=8",
+            "-o", "vit.image_size=32", "-o", "vit.hidden_size=32",
+            "-o", "vit.num_layers=2", "-o", "vit.num_heads=2",
+            "-o", "vit.mlp_dim=64", "-o", "data.augment.out_size=32",
+            "-o", "compute_dtype=float32", "-o", "pretrained_init=false",
+            "-o", "proj_dim=16"]
+    rc = main(["extract", "ssp-single", "--out", out, "--batch-size", "16",
+               *tiny])
+    assert rc == 0
+    data = np.load(out)
+    ds_n = 2048  # synthetic train split size
+    assert data["features"].shape == (ds_n, 16)
+    assert data["labels"].shape == (ds_n,)
+    assert np.isfinite(data["features"]).all()
+    # deterministic eval views: a second run reproduces exactly
+    out2 = str(tmp_path / "feats2.npz")
+    assert main(["extract", "ssp-single", "--out", out2, "--batch-size", "16",
+                 *tiny]) == 0
+    np.testing.assert_array_equal(data["features"], np.load(out2)["features"])

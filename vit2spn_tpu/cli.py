@@ -14,6 +14,9 @@ One runnable command per reference script (SURVEY.md section 7):
   vit2spn convert export.npz export.pth   backbone interop with the
                                           reference's .pth contract (both
                                           directions)
+  vit2spn extract ssp-single --out f.npz  online features over a dataset
+                                          (extract_online_features surface,
+                                          dsn_ssn/ssp_single.py:140-156)
 
 Config overrides use dotted keys: `vit2spn run ssp -o epochs=5 -o
 data.root=/data -o mesh.model_parallel=2`.
@@ -218,6 +221,49 @@ def cmd_plot(args):
     return 0
 
 
+def cmd_extract(args):
+    """Feature extraction / serving surface: run the online network over a
+    dataset in eval mode and write (features, labels) to an .npz.
+
+    Parity target: `extract_online_features` (dsn_ssn/ssp_single.py:140-156)
+    — the reference defines it (prediction-head output, eval mode, no grad)
+    but never surfaces it; here it is a first-class command. The TPU path is
+    the residual-free fused primal (14,899 img/s/chip, VALIDATION.md)."""
+    from vit2spn_tpu.data.datasets import load_dataset
+    from vit2spn_tpu.train import checkpoint as ckpt
+    from vit2spn_tpu.train.ssp import SSPTrainer
+    from vit2spn_tpu.utils.logging import MetricLogger
+
+    cfg = _apply_overrides(get_preset(args.preset), args.override)
+    if not isinstance(cfg, SSPConfig):
+        print(f"extract needs an SSP preset, got {args.preset!r}", file=sys.stderr)
+        return 2
+    logger = MetricLogger()
+    trainer = SSPTrainer(cfg, logger=logger)
+    path = args.checkpoint or os.path.join(cfg.checkpoint_dir, "checkpoint.npz")
+    if ckpt.exists(path):
+        trainer.state = jax.device_put(
+            ckpt.restore(path, trainer.state), trainer._state_sharding
+        )
+        logger.log("restore", path=path)
+    else:
+        logger.log(
+            "warning",
+            message=f"checkpoint {path} not found; extracting from the "
+            "initial (pretrained/random) weights",
+        )
+    ds = load_dataset(cfg.data.name, root=cfg.data.root)
+    split = ds.split(args.split) if args.split in ds.splits else ds
+    feats, labels = trainer.extract_features(
+        split, batch_size=args.batch_size, augment=args.augment,
+        features=args.features,
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    np.savez(args.out, features=feats, labels=labels)
+    print(f"{feats.shape[0]} x {feats.shape[1]} features -> {args.out}")
+    return 0
+
+
 def cmd_convert(args):
     """Backbone checkpoint interop: convert between our .npz export format
     and the reference's torch .pth inter-script contract, either direction
@@ -280,6 +326,23 @@ def build_parser() -> argparse.ArgumentParser:
     mg = dsub.add_parser("merge-ucsd")
     mg.add_argument("root")
     d.set_defaults(fn=cmd_data)
+
+    ex = sub.add_parser(
+        "extract",
+        help="extract online-network features over a dataset (serving path)",
+    )
+    ex.add_argument("preset", choices=sorted(PRESETS))
+    ex.add_argument("--split", default="train")
+    ex.add_argument("--checkpoint", default=None,
+                    help="SSP training checkpoint.npz (default: preset dir)")
+    ex.add_argument("--out", default="./output/features.npz")
+    ex.add_argument("--batch-size", type=int, default=256)
+    ex.add_argument("--features", choices=["pred", "backbone"], default="pred")
+    ex.add_argument("--augment", action="store_true",
+                    help="reference's augmented dual-view loader instead of "
+                         "deterministic resize views")
+    ex.add_argument("-o", "--override", action="append")
+    ex.set_defaults(fn=cmd_extract)
 
     cv = sub.add_parser(
         "convert",
