@@ -5,6 +5,13 @@ from vit2spn_tpu.models.heads import (
     classifier_head_apply,
     mlp_head_apply,
 )
+from vit2spn_tpu.models.hf_convert import (
+    convert_hf_state_dict,
+    convert_to_hf_state_dict,
+    export_reference_pth,
+    load_local_state,
+    load_pretrained_vit_tiny,
+)
 from vit2spn_tpu.models.ssp import (
     DualStreamParams,
     backbone_slice,
@@ -30,4 +37,9 @@ __all__ = [
     "dual_stream_forward",
     "single_stream_forward",
     "ema_update",
+    "convert_hf_state_dict",
+    "convert_to_hf_state_dict",
+    "export_reference_pth",
+    "load_local_state",
+    "load_pretrained_vit_tiny",
 ]
