@@ -279,7 +279,12 @@ def cmd_convert(args):
     vit_cfg = _apply_overrides(SSPConfig(), args.override).vit
     src, dst = args.src, args.dst
 
-    if src.endswith(".npz") and any("/" in k for k in np.load(src).files):
+    if src.endswith(".npz"):
+        with np.load(src) as f:
+            is_pytree = any("/" in k for k in f.files)
+    else:
+        is_pytree = False
+    if is_pytree:
         # our path-flattened pytree export
         params = ckpt.restore(src, init_vit(jax.random.key(0), vit_cfg),
                               strict=False)
