@@ -68,7 +68,12 @@ def main(argv=None) -> None:
     if args.source_shape:
         if args.mode != "hires":
             ap.error("--source-shape only applies to --mode hires")
-        src = tuple(int(v) for v in args.source_shape.lower().split("x"))
+        try:
+            src = tuple(int(v) for v in args.source_shape.lower().split("x"))
+        except ValueError:
+            src = ()
+        if len(src) != 2 or min(src) <= 0:
+            ap.error("--source-shape must be HxW, e.g. 496x512")
     if args.band_limit is not None:
         cfg = replace(cfg, **{"data.augment.band_limit": args.band_limit})
     n_chips = jax.device_count()

@@ -178,6 +178,22 @@ def test_multitrial_resume(tiny_ft, tmp_path):
     # state file now holds both trials
     saved = json.load(open(state))
     assert len(saved["trials"]) == 2
-    # a config change invalidates the state instead of mixing runs
+    # ANY result-affecting config change invalidates the state instead of
+    # mixing differently-configured trials (seed, epochs override, lr,
+    # epochs, init_path — the key is the full config tree minus the mesh)
     from vit2spn_tpu.evals.protocol import _load_trial_state
     assert _load_trial_state(state, dataclasses.replace(cfg, seed=7)) == []
+    assert _load_trial_state(state, cfg, epochs=1) == []
+    assert _load_trial_state(
+        state, dataclasses.replace(cfg, learning_rate=5e-4)) == []
+    assert _load_trial_state(
+        state, dataclasses.replace(cfg, epochs=cfg.epochs + 1)) == []
+    assert _load_trial_state(
+        state, dataclasses.replace(cfg, init_path="/elsewhere.npz")) == []
+    # mesh layout is numerics-invariant and does NOT invalidate
+    assert _load_trial_state(
+        state,
+        dataclasses.replace(
+            cfg, mesh=dataclasses.replace(cfg.mesh, model_parallel=2)
+        ),
+    ) != []

@@ -98,12 +98,9 @@ def _resolve_backbone(cfg: FineTuneConfig, logger):
         # the reference's own export artifact (torch state dict with
         # `vit.`-prefixed HF keys, ssp_vit2spn_tiny.py:246) — migration path
         # for users with existing reference checkpoints
-        from vit2spn_tpu.models.hf_convert import (
-            convert_hf_state_dict,
-            load_local_state,
-        )
+        from vit2spn_tpu.models.hf_convert import load_pretrained_vit_tiny
 
-        return convert_hf_state_dict(load_local_state(path), cfg.vit)
+        return load_pretrained_vit_tiny(cfg.vit, path=path)
     template = init_vit(jax.random.key(0), cfg.vit)
     return ckpt.restore(path, template, strict=False)
 

@@ -190,10 +190,25 @@ def run_cv_protocol(
     )
 
 
-def _load_trial_state(path: str, cfg: FineTuneConfig) -> list:
+def _trial_state_key(cfg: FineTuneConfig, epochs) -> dict:
+    """Resume key = every result-affecting config field (the full config
+    tree minus the mesh, whose layout is numerics-invariant — DP/TP equality
+    is tested) plus the epochs override. Any change invalidates the state
+    file rather than silently mixing differently-configured trials."""
+    import dataclasses
+    import json
+
+    key = dataclasses.asdict(cfg)
+    key.pop("mesh", None)
+    key["epochs_override"] = epochs
+    # normalize through JSON (tuples -> lists) so the in-memory key compares
+    # equal to one read back from the state file
+    return json.loads(json.dumps(key))
+
+
+def _load_trial_state(path: str, cfg: FineTuneConfig, epochs=None) -> list:
     """Completed-trial records from a previous (killed) run — resumable
-    multitrial. The file is keyed by (seed, k_folds, num_trials) so a
-    config change invalidates it rather than silently mixing runs."""
+    multitrial."""
     import json
     import os
 
@@ -201,22 +216,19 @@ def _load_trial_state(path: str, cfg: FineTuneConfig) -> list:
         return []
     with open(path) as f:
         state = json.load(f)
-    key = {"seed": cfg.seed, "k_folds": cfg.k_folds,
-           "num_trials": cfg.num_trials, "dataset": cfg.data.name}
-    if state.get("key") != key:
+    if state.get("key") != _trial_state_key(cfg, epochs):
         return []
     return state.get("trials", [])
 
 
-def _save_trial_state(path: str, cfg: FineTuneConfig, trials: list) -> None:
+def _save_trial_state(path: str, cfg: FineTuneConfig, trials: list,
+                      epochs=None) -> None:
     import json
     import os
 
-    key = {"seed": cfg.seed, "k_folds": cfg.k_folds,
-           "num_trials": cfg.num_trials, "dataset": cfg.data.name}
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"key": key, "trials": trials}, f)
+        json.dump({"key": _trial_state_key(cfg, epochs), "trials": trials}, f)
     os.replace(tmp, path)  # atomic like train/checkpoint.py
 
 
@@ -243,7 +255,7 @@ def run_multitrial(
     (trial results are deterministic given the per-trial seed, so resumed
     aggregates equal a single uninterrupted run's)."""
     logger = logger or MetricLogger(echo=True)
-    trials = _load_trial_state(resume_path, cfg) if resume_path else []
+    trials = _load_trial_state(resume_path, cfg, epochs) if resume_path else []
     if trials:
         logger.log("multitrial_resume", completed=len(trials),
                    total=cfg.num_trials, path=resume_path)
@@ -262,7 +274,7 @@ def run_multitrial(
             f"{k}_{s}": v[s] for k, v in agg.items() for s in ("mean", "std")
         })
         if resume_path:
-            _save_trial_state(resume_path, cfg, trials)
+            _save_trial_state(resume_path, cfg, trials, epochs)
     out = {"trials": trials, "aggregate": trials[0]["aggregate"]}
     if cfg.num_trials > 1:
         keys = trials[0]["aggregate"].keys()

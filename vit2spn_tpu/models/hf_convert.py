@@ -231,9 +231,17 @@ def load_local_state(path: str) -> dict:
     if path.endswith((".pth", ".pt")):
         import torch  # lazy: CPU torch is available but heavy
 
-        state = torch.load(path, map_location="cpu", weights_only=True)
-        if hasattr(state, "state_dict"):  # whole-module saves
-            state = state.state_dict()
+        try:
+            # weights_only: never execute pickled code from a checkpoint.
+            # This covers state-dict saves — the reference's only save form
+            # (torch.save(model.state_dict()), ssp_vit2spn_tiny.py:246).
+            state = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception as e:  # noqa: BLE001 — torch raises UnpicklingError subtypes
+            raise ValueError(
+                f"{path!r} is not a plain state-dict checkpoint (whole-module "
+                "torch.save(model) files are not accepted — re-save with "
+                "torch.save(model.state_dict(), ...))"
+            ) from e
         return _strip_prefix(
             {k: v.detach().cpu().numpy() for k, v in state.items()}
         )

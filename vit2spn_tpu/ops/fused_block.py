@@ -577,9 +577,11 @@ def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret,
     mlp_bt = _tile_for(b, mlp_bt_req)
     # measured scoped-VMEM need at tile 8: 21.9 MB (exact gelu), 24.8 MB (fast)
     mlp_vmem_mb = int(os.environ.get("VIT2SPN_MLP_BWD_VMEM_MB", "0"))
-    if not mlp_vmem_mb and mlp_bt > 4:
+    if not mlp_vmem_mb and not vmem_mb and mlp_bt > 4:
         # tile >4 overflows Mosaic's 16 MB default; floor the budget even when
-        # mlp_bt happens to equal bt (e.g. VIT2SPN_BWD_TILE=8 with no VMEM var)
+        # mlp_bt happens to equal bt (e.g. VIT2SPN_BWD_TILE=8 with no VMEM
+        # var). An explicitly-set shared VIT2SPN_BWD_VMEM_MB wins over the
+        # floor — sweeps must measure the budget the operator asked for.
         mlp_vmem_mb = {8: 26}.get(mlp_bt, 48)
     mlp_vmem = mlp_vmem_mb * 1024 * 1024 if mlp_vmem_mb else vmem
     mlp_names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")

@@ -51,7 +51,6 @@ from vit2spn_tpu.models.ssp import (
     dual_stream_forward,
     ema_update,
     init_dual_stream,
-    negative_cosine_loss,
 )
 from jax.sharding import NamedSharding, PartitionSpec
 
