@@ -78,7 +78,14 @@ class EarlyStopping:
 def balanced_class_weights(labels: np.ndarray, num_classes: int) -> np.ndarray:
     """n_samples / (n_classes * bincount); classes absent from `labels` get
     weight 0 (they cannot occur in the loss anyway). Counting runs through
-    the native host data-plane (data/native.py, numpy-identical fallback)."""
+    the native host data-plane (data/native.py, numpy-identical fallback).
+
+    Equals sklearn compute_class_weight("balanced") (octmnist_ft_vit2spn.py:
+    186) whenever every class is present. In the degenerate absent-class
+    corner the reference diverges per script — octmnist passes the short
+    weight vector to CrossEntropyLoss (shape error), ucsdoct resets ALL
+    weights to uniform (ucsdoct_ft_vit2spn.py:99-113); this unifies both to
+    balanced-over-present (documented deviation, PARITY.md)."""
     from vit2spn_tpu.data import native
 
     labels = np.asarray(labels).reshape(-1)
