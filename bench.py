@@ -108,15 +108,16 @@ def main(argv=None) -> None:
 
     run(0)  # warmup: compile + first execution
 
-    # best of 3 timed repeats: each window ends with ONE host fetch through
+    # best of 5 timed repeats: each window ends with ONE host fetch through
     # the ~40 ms tunnel, whose RTT jitter is ±1% of the window — the best
     # repeat is the one with the least fetch-jitter, not a lucky compute run
-    # (on-chip step time is stable to <0.1% across repeats)
+    # (on-chip step time is stable to <0.1% across repeats; each extra
+    # repeat costs ~3 s against a multi-minute compile)
     dt = min(
         (lambda t0: (run(1 + i), time.perf_counter() - t0)[1])(
             time.perf_counter()
         )
-        for i in range(3)
+        for i in range(5)
     )
 
     img_per_sec = n_steps * eff / dt
