@@ -204,3 +204,132 @@ def test_training_trajectory_matches_torch_reference():
         np.array(params_n.heads["prediction"]["linear_1"]["w"]).T,
         prediction[2].weight.detach().numpy(), atol=2e-5,
     )
+
+
+def test_finetune_trajectory_matches_torch_reference():
+    """Same cross-framework drill for the fine-tune path
+    (octmnist_ft_vit2spn.py:73-126): weighted CrossEntropyLoss, torch
+    Adam(weight_decay) L2-into-gradient semantics, and the BatchNorm1d
+    classifier head (batch-stats train normalization + unbiased running-stat
+    updates + eval-mode running stats)."""
+    from vit2spn_tpu.core.config import FineTuneConfig
+    from vit2spn_tpu.data.datasets import Dataset
+    from vit2spn_tpu.train.finetune import FineTuneTrainer
+    from vit2spn_tpu.utils.logging import MetricLogger
+
+    num_classes, n_train, n_val, bs = 3, 48, 16, 8
+    cfg = FineTuneConfig(
+        vit=ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                      num_layers=2, num_heads=2, mlp_dim=64),
+        data=DataConfig(name="synthetic",
+                        augment=AugmentConfig(out_size=32, enabled=False)),
+        batch_size=bs,
+        head_hidden=16,
+        head_dropout=0.0,  # see module docstring
+        compute_dtype="float32",
+    )
+    rng = np.random.default_rng(1)
+
+    def mkds(n, name):
+        return Dataset(
+            name=name,
+            images=rng.integers(0, 256, (n, 32, 32, 1), dtype=np.uint8),
+            labels=rng.integers(0, num_classes, n).astype(np.int64),
+            num_classes=num_classes,
+            class_names=[str(c) for c in range(num_classes)],
+        )
+
+    train_ds, val_ds = mkds(n_train, "tr"), mkds(n_val, "va")
+    # non-uniform weights so the weighted-mean normalization is exercised
+    class_weights = np.array([1.0, 2.0, 0.5], np.float32)
+
+    trainer = FineTuneTrainer(cfg, num_classes, eval_augment=False,
+                              logger=MetricLogger(echo=False))
+    state0 = jax.device_get(trainer.state)
+
+    # ---- torch FineTunedModel from spec, seeded with the same weights ----
+    backbone = _torch_vit(state0.backbone, cfg.vit)
+    lin0 = torch.nn.Linear(cfg.vit.hidden_size, cfg.head_hidden)
+    bn = torch.nn.BatchNorm1d(cfg.head_hidden)
+    lin1 = torch.nn.Linear(cfg.head_hidden, num_classes)
+    with torch.no_grad():
+        lin0.weight.copy_(torch.from_numpy(np.array(state0.head["linear_0"]["w"]).T))
+        lin0.bias.copy_(torch.from_numpy(np.array(state0.head["linear_0"]["b"])))
+        bn.weight.copy_(torch.from_numpy(np.array(state0.head["bn"]["scale"])))
+        bn.bias.copy_(torch.from_numpy(np.array(state0.head["bn"]["bias"])))
+        lin1.weight.copy_(torch.from_numpy(np.array(state0.head["linear_1"]["w"]).T))
+        lin1.bias.copy_(torch.from_numpy(np.array(state0.head["linear_1"]["b"])))
+    crit = torch.nn.CrossEntropyLoss(weight=torch.from_numpy(class_weights))
+    opt = torch.optim.Adam(
+        list(backbone.parameters()) + list(lin0.parameters())
+        + list(bn.parameters()) + list(lin1.parameters()),
+        lr=cfg.learning_rate, weight_decay=cfg.weight_decay,
+    )
+
+    def torch_logits(x_u8, train):
+        backbone.train(train), bn.train(train)
+        f = _features(backbone, _torch_views(x_u8, cfg.data.augment))
+        return lin1(torch.relu(bn(lin0(f))))
+
+    # ---- 2 epochs over identical batch orders ----
+    images_dev, labels_dev = trainer._device_data(train_ds)
+    weights_dev = jnp.asarray(class_weights)
+    torch_epoch_losses, jax_epoch_losses = [], []
+    for epoch in range(2):
+        idx_mat = rng.permutation(n_train)[: (n_train // bs) * bs].reshape(-1, bs)
+        trainer.state, tl = trainer._train_epoch(
+            trainer.state, images_dev, labels_dev,
+            jnp.asarray(idx_mat, jnp.int32), weights_dev,
+            jax.random.key(epoch), jnp.asarray(1.0, jnp.float32),
+        )
+        jax_epoch_losses.append(float(tl))
+
+        step_losses = []
+        for idx in idx_mat:
+            x, y = train_ds.images[idx], torch.from_numpy(train_ds.labels[idx])
+            opt.zero_grad()
+            loss = crit(torch_logits(x, train=True), y)
+            loss.backward()
+            opt.step()
+            step_losses.append(float(loss.detach()))
+        torch_epoch_losses.append(float(np.mean(step_losses)))
+
+    np.testing.assert_allclose(jax_epoch_losses, torch_epoch_losses, atol=3e-5)
+
+    # ---- eval parity: running-stat BN + weighted NLL + probs ----
+    val_loss, probs, labels = trainer.evaluate(val_ds, class_weights)
+    # the reference's val loss is the MEAN OF PER-BATCH weighted means
+    # (octmnist_ft_vit2spn.py:109-115's loop accumulation), which is what
+    # eval_pass reproduces — batch the torch side identically
+    probs_t, batch_losses_t = [], []
+    with torch.no_grad():
+        for s in range(0, n_val, bs):
+            logits_t = torch_logits(val_ds.images[s:s + bs], train=False)
+            probs_t.append(torch.softmax(logits_t, dim=-1).numpy())
+            batch_losses_t.append(float(
+                crit(logits_t, torch.from_numpy(val_ds.labels[s:s + bs]))
+            ))
+    np.testing.assert_allclose(probs, np.concatenate(probs_t), atol=2e-5)
+    np.testing.assert_allclose(val_loss, np.mean(batch_losses_t), atol=3e-5)
+
+    # ---- post-training parameters, incl. BN running stats ----
+    # Param tolerance: Adam turns sub-eps gradient components into ±lr-sized
+    # steps (m̂/(√v̂+eps) saturates to ±1), so fp32 cross-framework noise on
+    # low-gradient dims amplifies to a few lr per flip — observed ~2e-4 over
+    # the 12 steps here. 5e-4 accommodates that while still catching
+    # semantic bugs (e.g. decaying torch-skipped inert leaves shows up at
+    # steps*lr = 1.2e-3).
+    state_n = jax.device_get(trainer.state)
+    sd_jax = convert_to_hf_state_dict(state_n.backbone, cfg.vit)
+    sd_torch = backbone.state_dict()
+    for k in sd_jax:
+        np.testing.assert_allclose(sd_jax[k], sd_torch[k].numpy(), atol=5e-4,
+                                   err_msg=f"backbone param {k}")
+    np.testing.assert_allclose(np.array(state_n.head["linear_1"]["w"]).T,
+                               lin1.weight.detach().numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.array(state_n.head["bn"]["scale"]),
+                               bn.weight.detach().numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.array(state_n.bn_state["mean"]),
+                               bn.running_mean.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.array(state_n.bn_state["var"]),
+                               bn.running_var.numpy(), atol=5e-4)

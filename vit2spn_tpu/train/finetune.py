@@ -92,8 +92,29 @@ def _build_finetune_fns(
     """Jitted (train_epoch, eval_pass) shared across folds/trials."""
     policy = DTypePolicy.from_str(cfg.compute_dtype)
     base_lr = cfg.learning_rate
+
+    # torch.optim.Adam skips parameters whose .grad is None, so the
+    # backbone's structurally-unused leaves — the pooler, and the final
+    # layernorm when features are the pre-LN hidden_states[-1] — are never
+    # touched by the reference's weight decay (their JAX grads are zero, not
+    # absent, so an unmasked decay would shrink them). Mask them out: decay
+    # contributes nothing, scale_by_adam of a zero grad is zero, and the
+    # leaves stay bit-identical to torch's (pinned cross-framework in
+    # tests/test_torch_trajectory_parity.py).
+    inert = {"pooler"} | (
+        set() if cfg.vit.use_final_layernorm_features else {"final_ln"}
+    )
+
+    def _decay_mask(params):
+        backbone, head = params
+        mask_b = {
+            k: jax.tree.map(lambda _: k not in inert, v)
+            for k, v in backbone.items()
+        }
+        return (mask_b, jax.tree.map(lambda _: True, head))
+
     tx = optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
+        optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
         optax.scale_by_adam(),
     )
     rep = replicated_sharding(mesh)
