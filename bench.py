@@ -51,6 +51,13 @@ def main(argv=None) -> None:
         "extract_features/serving path — deterministic eval views, "
         "residual-free fused-backbone primal, no backward).",
     )
+    ap.add_argument(
+        "--vit", choices=["tiny", "small", "base"], default="tiny",
+        help="backbone geometry. tiny is the flagship/reference model; "
+        "small/base are framework extensions (same SSP step, dimension-"
+        "generic fused kernels with geometry-scaled tile/VMEM defaults) — "
+        "the metric gains a _vit<name> suffix and an MFU detail.",
+    )
     ap.add_argument("--band-limit", type=int, default=None,
                     help="override augment band_limit (hires tuning)")
     ap.add_argument("--source-shape", default=None, metavar="HxW",
@@ -64,6 +71,12 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     cfg = SSPConfig(pretrained_init=False)  # full flagship config
+    if args.vit != "tiny":
+        if args.mode != "octmnist":
+            ap.error("--vit only applies to the default (octmnist) mode")
+        from vit2spn_tpu.core.config import ViTConfig
+
+        cfg = replace(cfg, vit=getattr(ViTConfig, args.vit)())
     src = 28 if args.mode == "octmnist" else 256
     if args.source_shape:
         if args.mode != "hires":
@@ -123,16 +136,49 @@ def main(argv=None) -> None:
     img_per_sec = n_steps * eff / dt
     img_per_sec_chip = img_per_sec / n_chips
     suffix = "" if args.mode == "octmnist" else "_hires"
-    print(
-        json.dumps(
-            {
-                "metric": f"ssp_images_per_sec_per_chip{suffix}",
-                "value": round(img_per_sec_chip, 2),
-                "unit": "images/s/chip",
-                "vs_baseline": round(img_per_sec_chip / RTX6000_EST_IMG_PER_SEC, 3),
-            }
+    record = {
+        "metric": f"ssp_images_per_sec_per_chip{suffix}",
+        "value": round(img_per_sec_chip, 2),
+        "unit": "images/s/chip",
+        "vs_baseline": round(img_per_sec_chip / RTX6000_EST_IMG_PER_SEC, 3),
+    }
+    if args.vit != "tiny":
+        # model-family extension: the RTX estimate is per-FLOP, so scale the
+        # per-image baseline by the geometry's step FLOPs; report true MFU
+        # (analytic matmul FLOPs INCLUDING the attention einsums fvcore
+        # skips — the canonical Tiny 17.3 GFLOP/img figure excludes them)
+        from vit2spn_tpu.core.config import ViTConfig
+
+        g = _step_gflops_per_img(cfg.vit)
+        g_tiny = _step_gflops_per_img(ViTConfig())
+        record["metric"] += f"_vit{args.vit}"
+        record["vs_baseline"] = round(
+            img_per_sec_chip / (RTX6000_EST_IMG_PER_SEC * g_tiny / g), 3
         )
+        record["detail"] = {
+            "model": f"vit-{args.vit}",
+            "step_gflops_per_img": round(g, 2),
+            "mfu_vs_197tflops_bf16": round(
+                img_per_sec_chip * g / 197_000, 4
+            ),
+        }
+    print(json.dumps(record))
+
+
+def _step_gflops_per_img(vit) -> float:
+    """Analytic matmul FLOPs of one SSP training step per image: 4 forwards
+    (2 online + 2 EMA targets) + 2 recompute-backwards at ~2x forward each
+    = 8 forward-equivalents (the ratio bench/profiling measured on chip)."""
+    s, d, mlp = vit.seq_len, vit.hidden_size, vit.mlp_dim
+    per_layer = (
+        2 * s * d * 3 * d          # qkv projection
+        + 2 * s * s * d            # attention scores
+        + 2 * s * s * d            # attention-weighted values
+        + 2 * s * d * d            # output projection
+        + 2 * s * d * mlp * 2      # MLP up + down
     )
+    patch = 2 * vit.num_patches * (vit.patch_size ** 2 * 3) * d
+    return 8 * (vit.num_layers * per_layer + patch) / 1e9
 
 
 def _bench_cold_epoch(trainer, shape, rng) -> None:

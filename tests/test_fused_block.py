@@ -87,6 +87,31 @@ def test_fused_block_generalizes_to_vit_small_dims():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
 
 
+def test_mem_scale_tiny_baseline_and_growth():
+    """Tile/VMEM defaults are tuned at the ViT-Tiny point (scale must be
+    EXACTLY 1 there so production defaults never shift) and scale with the
+    geometry: ViT-Small is exactly 2x, ViT-Base 4x."""
+    from vit2spn_tpu.ops.fused_block import _mem_scale
+
+    assert _mem_scale(208, 192, 768, 3) == 1  # Tiny @ sp=208 (S=197)
+    assert _mem_scale(208, 384, 1536, 6) == 2  # Small
+    assert _mem_scale(208, 768, 3072, 12) == 4  # Base
+    # small test geometries must not divide tiles below usable
+    assert _mem_scale(48, 64, 128, 2) == 1
+
+
+def test_bench_step_gflops_analytic():
+    """bench.py's analytic step FLOPs: the Tiny figure must reproduce the
+    canonical decomposition — 8 forward-equivalents of 2.51 GFLOP (= the
+    published fvcore 2.16 GFLOP + the attention einsums fvcore skips)."""
+    import bench
+
+    g_tiny = bench._step_gflops_per_img(ViTConfig())
+    assert abs(g_tiny - 20.05) < 0.1
+    g_small = bench._step_gflops_per_img(ViTConfig.small())
+    assert abs(g_small - 73.58) < 0.1
+
+
 def _stack_weights(key, layers=3):
     cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=64,
                     num_layers=layers, num_heads=2, mlp_dim=128)

@@ -41,6 +41,18 @@ class ViTConfig:
     #   "full" - recompute the whole block in backward (lowest memory)
     remat: str = "none"
 
+    @staticmethod
+    def small() -> "ViTConfig":
+        """ViT-Small/16 geometry — a framework extension beyond the
+        reference's single ViT-Tiny model (every kernel and trainer is
+        dimension-generic; see tests/test_fused_block.py)."""
+        return ViTConfig(hidden_size=384, num_heads=6, mlp_dim=1536)
+
+    @staticmethod
+    def base() -> "ViTConfig":
+        """ViT-Base/16 geometry (framework extension, see small())."""
+        return ViTConfig(hidden_size=768, num_heads=12, mlp_dim=3072)
+
     @property
     def num_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2

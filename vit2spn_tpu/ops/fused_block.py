@@ -468,10 +468,23 @@ def _tile_for(b, block_images):
     return bt
 
 
+def _mem_scale(sp, d, mlp_dim, heads):
+    """Per-image VMEM-cost multiple relative to the tuned ViT-Tiny geometry
+    (d=192, mlp=768, heads=3 at sp=208). The kernels' scoped-VMEM temps scale
+    with sp*(d+mlp) (activation rows) plus heads*sp^2 (per-head attention
+    matrices); the tile/budget defaults below were swept at the Tiny point,
+    so larger geometries (ViT-Small: exactly 2.0x; ViT-Base: 4.7x) divide
+    the image tile and pad the budget accordingly. Env overrides still win."""
+    cost = sp * (d + mlp_dim) + heads * sp * sp
+    tiny = 208 * (192 + 768) + 3 * 208 * 208
+    return max(1, round(cost / tiny))
+
+
 def _fused_fwd_impl(x, weights, heads, eps, block_images, interpret):
     b, s, d = x.shape
     sp = _round_up(s, 16)
-    bt = _tile_for(b, block_images)
+    scale = _mem_scale(sp, d, weights[8].shape[-1], heads)
+    bt = _tile_for(b, max(1, block_images // scale))
     xp = _pad_seq(x, sp)
     weights = _prep_weights(weights)
     kern = functools.partial(
@@ -545,22 +558,46 @@ def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret,
         return outs[0], dgrads
 
     # experiment overrides (tools/bwd_sweep.py); defaults are the measured
-    # production optimum
+    # production optimum at the ViT-Tiny geometry — larger geometries divide
+    # the tile and pad the VMEM budget by _mem_scale (weights + fp32 dw
+    # accumulators grow with d^2 independent of the image tile)
+    mlp_dim = wdict["w1"].shape[-1]
+    scale = _mem_scale(sp, d, mlp_dim, heads)
     bt_req = int(os.environ.get("VIT2SPN_BWD_TILE", "0")) or max(
-        block_images // 2, 1
+        block_images // 2 // scale, 1
     )
     bt = _tile_for(b, bt_req)
+
+    def _w_mb(names):
+        """VMEM for a kernel's weight operands (input dtype) + fp32 dw
+        outputs — the d^2-scaled, tile-independent part of the footprint."""
+        return sum(
+            wdict[n].size * (wdict[n].dtype.itemsize + 4) for n in names
+        ) / (1 << 20)
+
     vmem_mb = int(os.environ.get("VIT2SPN_BWD_VMEM_MB", "0"))
+    if not vmem_mb and scale > 1:
+        # budgets are tuned at the Tiny geometry; at larger geometries build
+        # them explicitly: tile-proportional temps (measured ~16 MB at the
+        # Tiny attn-bwd optimum, effective tile 4) + the weight/dw buffers
+        vmem_mb = round(
+            16 * (bt * scale) / 4
+            + _w_mb(("wqkv", "bqkv", "wo", "bo", "ln1_scale", "ln1_bias"))
+            + 8
+        )
     vmem = vmem_mb * 1024 * 1024 if vmem_mb else None
     if merged:
         # one launch per layer, dx2 resident in VMEM; ~16.2 MB scoped VMEM
         # at tile 4 so it needs the explicit budget above Mosaic's default.
         # Measured on v5e: 2932.5 img/s/chip == the split form (a wash);
         # kept selectable via VIT2SPN_MERGED_BWD=1.
+        merged_mb = 18 if scale == 1 else round(
+            18 * (bt * scale) / 4 + _w_mb(WEIGHT_NAMES) + 8
+        )
         return run(
             _merged_bwd_kernel, WEIGHT_NAMES, (xp, x2p, gp),
             {"heads": heads, "seq_len": s}, bt=bt,
-            vmem_limit=max(vmem or 0, 18 * 1024 * 1024),
+            vmem_limit=max(vmem or 0, merged_mb * 1024 * 1024),
         )
 
     # per-kernel tiles: tile 4 is the measured optimum for the attn-bwd
@@ -573,18 +610,27 @@ def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret,
     # less grid pipelining, same pattern as fwd tile 32)
     mlp_bt_req = int(
         os.environ.get("VIT2SPN_MLP_BWD_TILE", "0")
-    ) or min(2 * bt, 8)
+    ) or min(2 * bt, max(8 // scale, 1))
     mlp_bt = _tile_for(b, mlp_bt_req)
     # measured scoped-VMEM need at tile 8: 21.9 MB (exact gelu), 24.8 MB (fast)
     mlp_vmem_mb = int(os.environ.get("VIT2SPN_MLP_BWD_VMEM_MB", "0"))
-    if not mlp_vmem_mb and not vmem_mb and mlp_bt > 4:
-        # tile >4 overflows Mosaic's 16 MB default; floor the budget even when
-        # mlp_bt happens to equal bt (e.g. VIT2SPN_BWD_TILE=8 with no VMEM
-        # var). An explicitly-set shared VIT2SPN_BWD_VMEM_MB wins over the
-        # floor — sweeps must measure the budget the operator asked for.
-        mlp_vmem_mb = {8: 26}.get(mlp_bt, 48)
-    mlp_vmem = mlp_vmem_mb * 1024 * 1024 if mlp_vmem_mb else vmem
     mlp_names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
+    if not mlp_vmem_mb and not os.environ.get("VIT2SPN_BWD_VMEM_MB"):
+        if scale > 1:
+            # explicit budget at non-Tiny geometries: tile-proportional temps
+            # (~25 MB at the Tiny optimum, effective tile 8, fast gelu) +
+            # weight/dw buffers (ViT-Base measured 55.9 MB needed at tile 2)
+            mlp_vmem_mb = round(
+                25 * (mlp_bt * scale) / 8 + _w_mb(mlp_names) + 8
+            )
+        elif mlp_bt > 4:
+            # Tiny: tile >4 overflows Mosaic's 16 MB default; floor the
+            # budget even when mlp_bt happens to equal bt (e.g.
+            # VIT2SPN_BWD_TILE=8 with no VMEM var). An explicitly-set shared
+            # VIT2SPN_BWD_VMEM_MB wins over the floor — sweeps must measure
+            # the budget the operator asked for.
+            mlp_vmem_mb = {8: 26}.get(mlp_bt, 48)
+    mlp_vmem = mlp_vmem_mb * 1024 * 1024 if mlp_vmem_mb else vmem
     dx2, mlp_grads = run(_mlp_bwd_kernel, mlp_names, (x2p, gp), {}, bt=mlp_bt,
                          vmem_limit=mlp_vmem)
 
@@ -666,9 +712,10 @@ def _backbone_fwd_impl(x, weights, heads, eps, block_images, interpret,
     b, s, d = x.shape
     layers = weights[0].shape[0]
     sp = _round_up(s, 16)
+    scale = _mem_scale(sp, d, weights[8].shape[-1], heads)
     block_images = int(
         os.environ.get("VIT2SPN_FWD_TILE", "0")
-    ) or block_images  # experiment override (tools/bwd_sweep.py)
+    ) or max(block_images // scale, 1)  # env override (tools/bwd_sweep.py)
     bt = _tile_for(b, block_images)
     xp = _pad_seq(x, sp)
     # stacked per-layer vectors (L, n) -> (L, 1, n): Mosaic requires the last
@@ -703,9 +750,19 @@ def _backbone_fwd_impl(x, weights, heads, eps, block_images, interpret,
     # measures 2963 vs 2932 img/s/chip at tile 8 (tile 32 @ 96 MB and the
     # 110 MB raise at unchanged tiles both regress - double-buffering
     # trade-off, CLAUDE.md).
-    fwd_vmem_mb = int(os.environ.get("VIT2SPN_FWD_VMEM_MB", "0")) or (
-        (18 if emit_res else 0) if bt <= 8 else 40
-    )
+    # budgets swept at the Tiny geometry; at larger geometries build them
+    # explicitly from the EFFECTIVE (Tiny-equivalent) tile's temps (~38 MB
+    # at effective tile 16) plus the double-buffered per-layer streamed
+    # weight blocks, which grow with d^2 independent of the tile
+    base_mb = (18 if emit_res else 0) if bt * scale <= 8 else 40
+    if scale > 1:
+        layer_w_mb = sum(
+            w.size * w.dtype.itemsize for w in weights
+        ) / layers / (1 << 20)
+        base_mb = round(
+            38 * (bt * scale) / 16 + 2 * layer_w_mb + 8
+        )
+    fwd_vmem_mb = int(os.environ.get("VIT2SPN_FWD_VMEM_MB", "0")) or base_mb
     if fwd_vmem_mb:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=fwd_vmem_mb * 1024 * 1024
