@@ -53,6 +53,23 @@ def test_cli_override_parsing():
     assert args.override == ["epochs=3", "data.name=synthetic"]
 
 
+def test_cli_vit_variant_override():
+    """-o vit=small swaps the whole backbone geometry (model-zoo shorthand);
+    later dotted overrides still apply on top."""
+    from vit2spn_tpu.cli import _apply_overrides
+    from vit2spn_tpu.core.config import SSPConfig
+
+    cfg = _apply_overrides(
+        SSPConfig(), ["vit=small", "vit.num_layers=2"]
+    )
+    assert cfg.vit.hidden_size == 384
+    assert cfg.vit.num_heads == 6
+    assert cfg.vit.mlp_dim == 1536
+    assert cfg.vit.num_layers == 2
+    with pytest.raises(ValueError):
+        _apply_overrides(SSPConfig(), ["vit=huge"])
+
+
 def test_cli_data_stats(tmp_path, capsys):
     rc = main(["data", "stats", "synthetic", "--out", str(tmp_path)])
     assert rc == 0

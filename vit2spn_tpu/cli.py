@@ -19,7 +19,9 @@ One runnable command per reference script (SURVEY.md section 7):
                                           dsn_ssn/ssp_single.py:140-156)
 
 Config overrides use dotted keys: `vit2spn run ssp -o epochs=5 -o
-data.root=/data -o mesh.model_parallel=2`.
+data.root=/data -o mesh.model_parallel=2`. The model-zoo shorthand
+`-o vit=small` / `-o vit=base` swaps the whole backbone geometry
+(framework extension; the reference is ViT-Tiny-only).
 """
 
 from __future__ import annotations
@@ -50,6 +52,17 @@ def _parse_override(s: str):
 def _apply_overrides(cfg, overrides):
     for item in overrides or []:
         key, val = _parse_override(item)
+        if key == "vit" and isinstance(val, str):
+            # model-zoo shorthand: -o vit=small swaps the whole backbone
+            # geometry (framework extension; the reference is Tiny-only).
+            # Dotted overrides after it still apply on top.
+            from vit2spn_tpu.core.config import ViTConfig
+
+            if val not in ("tiny", "small", "base"):
+                raise ValueError(
+                    f"unknown vit variant {val!r} (tiny|small|base)"
+                )
+            val = ViTConfig() if val == "tiny" else getattr(ViTConfig, val)()
         cfg = replace(cfg, **{key: val})
     return cfg
 
