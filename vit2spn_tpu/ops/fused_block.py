@@ -473,8 +473,9 @@ def _mem_scale(sp, d, mlp_dim, heads):
     (d=192, mlp=768, heads=3 at sp=208). The kernels' scoped-VMEM temps scale
     with sp*(d+mlp) (activation rows) plus heads*sp^2 (per-head attention
     matrices); the tile/budget defaults below were swept at the Tiny point,
-    so larger geometries (ViT-Small: exactly 2.0x; ViT-Base: 4.7x) divide
-    the image tile and pad the budget accordingly. Env overrides still win."""
+    so larger geometries (ViT-Small: exactly 2x; ViT-Base: exactly 4x)
+    divide the image tile and pad the budget accordingly. Env overrides
+    still win."""
     cost = sp * (d + mlp_dim) + heads * sp * sp
     tiny = 208 * (192 + 768) + 3 * 208 * 208
     return max(1, round(cost / tiny))
@@ -496,6 +497,15 @@ def _fused_fwd_impl(x, weights, heads, eps, block_images, interpret):
 
     tile_spec = pl.BlockSpec((bt, sp, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    kwargs = {}
+    if scale > 1:
+        # whole-layer weights are VMEM-resident here (tile-independent,
+        # ~14 MiB bf16 at ViT-Base) — Mosaic's 16 MB default only fits the
+        # Tiny geometry; temps at the Tiny tile-8 equivalent are ~17 MB
+        w_mb = sum(w.size * w.dtype.itemsize for w in weights) / (1 << 20)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=round(17 * (bt * scale) / 8 + w_mb + 8) << 20
+        )
     out, x2 = pl.pallas_call(
         wrapped,
         grid=(b // bt,),
@@ -507,6 +517,7 @@ def _fused_fwd_impl(x, weights, heads, eps, block_images, interpret):
         out_specs=[tile_spec, tile_spec],
         out_shape=[jax.ShapeDtypeStruct((b, sp, d), x.dtype)] * 2,
         interpret=interpret,
+        **kwargs,
     )(xp, *weights)
     return out[:, :s, :], x2
 
@@ -575,7 +586,8 @@ def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret,
             wdict[n].size * (wdict[n].dtype.itemsize + 4) for n in names
         ) / (1 << 20)
 
-    vmem_mb = int(os.environ.get("VIT2SPN_BWD_VMEM_MB", "0"))
+    vmem_env_mb = int(os.environ.get("VIT2SPN_BWD_VMEM_MB", "0"))
+    vmem_mb = vmem_env_mb
     if not vmem_mb and scale > 1:
         # budgets are tuned at the Tiny geometry; at larger geometries build
         # them explicitly: tile-proportional temps (measured ~16 MB at the
@@ -615,7 +627,7 @@ def _layer_bwd(xp, x2p, gp, wdict, heads, s, sp, eps, block_images, interpret,
     # measured scoped-VMEM need at tile 8: 21.9 MB (exact gelu), 24.8 MB (fast)
     mlp_vmem_mb = int(os.environ.get("VIT2SPN_MLP_BWD_VMEM_MB", "0"))
     mlp_names = ("ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")
-    if not mlp_vmem_mb and not os.environ.get("VIT2SPN_BWD_VMEM_MB"):
+    if not mlp_vmem_mb and not vmem_env_mb:
         if scale > 1:
             # explicit budget at non-Tiny geometries: tile-proportional temps
             # (~25 MB at the Tiny optimum, effective tile 8, fast gelu) +
