@@ -206,6 +206,78 @@ def test_training_trajectory_matches_torch_reference():
     )
 
 
+def test_single_stream_forward_wiring_matches_torch_reference():
+    """C2 wiring parity with DISTINCT views (dsn_ssn/ssp_single.py:103-138):
+    online sees view1, target sees view2, projection input is 192 (one
+    stream, no concat), the target path runs through the SAME trainable
+    projection head detached, and the EMA update uses momentum 0.99. The
+    trajectory tests above run with view1 == view2 (augmentation disabled),
+    so this is the test that pins the view->stream routing itself."""
+    import dataclasses
+
+    from vit2spn_tpu.core.dtypes import DTypePolicy
+    from vit2spn_tpu.models.ssp import (
+        dual_stream_forward,
+        ema_update,
+        init_dual_stream,
+    )
+
+    cfg = dataclasses.replace(
+        _cfg(), dual_stream=False, ema_momentum=0.99,
+        proj_hidden=64, proj_dim=32,
+    )
+    params = init_dual_stream(jax.random.key(11), cfg)
+    p0 = jax.device_get(params)
+
+    online_t = _torch_vit(backbone_slice(p0.online, 0), cfg.vit)
+    target_t = _torch_vit(backbone_slice(p0.target, 0), cfg.vit)
+    projection = _copy_mlp_head(p0.heads["projection"])
+    prediction = _copy_mlp_head(p0.heads["prediction"])
+    assert projection[0].weight.shape[1] == cfg.vit.hidden_size  # proj-in 192-equiv
+
+    rng = np.random.default_rng(7)
+    # distinct raw views, channels-last uint8 like the data pipeline
+    v1_u8 = rng.integers(0, 256, (4, 32, 32, 1), dtype=np.uint8)
+    v2_u8 = rng.integers(0, 256, (4, 32, 32, 1), dtype=np.uint8)
+
+    # ours: eval-transform views (gray/255 -> replicate -> normalize)
+    from vit2spn_tpu.data.augment import augment_batch
+
+    aug = cfg.data.augment
+    va = augment_batch(jax.random.key(0), jnp.asarray(v1_u8), aug)
+    vb = augment_batch(jax.random.key(0), jnp.asarray(v2_u8), aug)
+    pred, tgt = dual_stream_forward(
+        params, va, vb, cfg, DTypePolicy.from_str("float32"), train=False
+    )
+
+    with torch.no_grad():
+        f_on = _features(online_t.eval(), _torch_views(v1_u8, aug))
+        f_tg = _features(target_t.eval(), _torch_views(v2_u8, aug))
+        pred_t = prediction(projection(f_on))
+        tgt_t = projection(f_tg)
+    np.testing.assert_allclose(np.asarray(pred), pred_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tgt), tgt_t.numpy(), atol=2e-5)
+
+    # swapping the views must change the ONLINE output (routing, not symmetry)
+    pred_sw, _ = dual_stream_forward(
+        params, vb, va, cfg, DTypePolicy.from_str("float32"), train=False
+    )
+    assert np.abs(np.asarray(pred_sw) - np.asarray(pred)).max() > 1e-4
+
+    # EMA momentum 0.99 (dsn_ssn/ssp_single.py:136)
+    new_target = jax.device_get(
+        ema_update(params.target, params.online, cfg.ema_momentum)
+    )
+    with torch.no_grad():
+        for t, o in zip(target_t.parameters(), online_t.parameters()):
+            t.mul_(0.99).add_(o, alpha=0.01)
+    sd_jax = convert_to_hf_state_dict(backbone_slice(new_target, 0), cfg.vit)
+    sd_torch = target_t.state_dict()
+    for k in sd_jax:
+        np.testing.assert_allclose(sd_jax[k], sd_torch[k].numpy(), atol=2e-6,
+                                   err_msg=f"EMA param {k}")
+
+
 def test_finetune_trajectory_matches_torch_reference():
     """Same cross-framework drill for the fine-tune path
     (octmnist_ft_vit2spn.py:73-126): weighted CrossEntropyLoss, torch
