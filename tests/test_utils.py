@@ -77,3 +77,16 @@ def test_dual_stream_report_component_flops(tiny_ssp):
     # the full dual-stream forward also runs the target backbones, so it
     # must exceed the online-only component sum
     assert rep["forward_gflops"] > rep["componentwise_gflops"]
+
+
+def test_device_memory_report_shape():
+    """TPU-native log_gpu_memory equivalent (ssp_vit2spn_tiny.py:178-181):
+    returns {} on stat-less backends, else per-device MB fields."""
+    from vit2spn_tpu.utils.profiling import device_memory_report
+
+    rep = device_memory_report()
+    assert isinstance(rep, dict)
+    for dev_id, stats in rep.items():
+        assert set(stats) == {"bytes_in_use_mb", "peak_bytes_mb",
+                              "bytes_limit_mb"}
+        assert all(v >= 0 for v in stats.values())

@@ -154,8 +154,13 @@ def _run_experiment(cfg, args, out_dir, logger):
         ds = load_dataset(cfg.data.name, root=cfg.data.root)
         train = ds.split("train") if "train" in ds.splits else ds
         trainer = SSPTrainer(cfg, logger=logger)
-        # startup introspection (ssp_vit2spn_tiny.py:184-194,235-239)
+        # startup introspection (ssp_vit2spn_tiny.py:178-194,235-239)
         logger.log("model_info", **dual_stream_report(cfg, trainer.state.params))
+        from vit2spn_tpu.utils.profiling import device_memory_report
+
+        mem = device_memory_report()
+        if mem:  # backends without memory stats (CPU) report nothing
+            logger.log("device_memory", **mem)
         history = trainer.fit(
             train,
             epochs=args.epochs,

@@ -25,6 +25,32 @@ import os
 from typing import Callable, Optional
 
 
+def device_memory_report() -> dict:
+    """Per-device memory usage — the TPU-native equivalent of the
+    reference's `log_gpu_memory` (ssp_vit2spn_tiny.py:178-181,
+    torch.cuda.memory_allocated/reserved; defined there but never called —
+    here it IS called at `run ssp` startup). Returns {} on backends that
+    expose no stats (CPU)."""
+    import jax
+
+    out = {}
+    for dev in jax.local_devices():
+        try:
+            stats = dev.memory_stats()
+        except Exception:  # noqa: BLE001 — backend without stats
+            stats = None
+        if not stats:
+            continue
+        out[str(dev.id)] = {
+            "bytes_in_use_mb": round(stats.get("bytes_in_use", 0) / 2**20, 1),
+            "peak_bytes_mb": round(
+                stats.get("peak_bytes_in_use", 0) / 2**20, 1
+            ),
+            "bytes_limit_mb": round(stats.get("bytes_limit", 0) / 2**20, 1),
+        }
+    return out
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/vit2spn_trace"):
     import jax
