@@ -169,6 +169,50 @@ def test_backbone_grads_match_per_layer():
         )
 
 
+def test_backbone_grads_at_vit_small_dims(monkeypatch):
+    """Backward parity through the GEOMETRY-SCALED tile/budget branches:
+    fused_backbone grads == per-layer XLA at D=384/6 heads/mlp 1536, one
+    layer, interpret mode. At toy sequence lengths _mem_scale is 1 (it
+    scales with sp too), so pin it to 2 — exactly ViT-Small's production
+    value — to execute the scale>1 tile-division and byte-computed-budget
+    code (budgets are inert in interpret mode; the tiles are not)."""
+    import sys
+
+    from vit2spn_tpu.ops.fused_block import fused_backbone
+
+    # NOTE: `import ...fused_block as m` would bind the re-exported FUNCTION
+    # (package __init__ shadows the submodule for `as` bindings)
+    _fb_mod = sys.modules["vit2spn_tpu.ops.fused_block"]
+    monkeypatch.setattr(_fb_mod, "_mem_scale", lambda *a: 2)
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=384,
+                    num_layers=1, num_heads=6, mlp_dim=1536)
+    params = init_vit(jax.random.key(9), cfg)
+    blocks = params["blocks"]
+    x = jax.random.normal(jax.random.key(10), (2, cfg.seq_len, cfg.hidden_size))
+    wt = tuple(blocks[n] for n in WEIGHT_NAMES)
+
+    def loss_ref(x, wt):
+        b = dict(zip(WEIGHT_NAMES, wt))
+        h = _block(cfg, "xla", x, jax.tree.map(lambda a: a[0], b))
+        return jnp.sum(jnp.sin(h))
+
+    def loss_fused(x, wt):
+        return jnp.sum(jnp.sin(
+            fused_backbone(x, wt, cfg.num_heads, cfg.layernorm_eps, 2, True)
+        ))
+
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wt)
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, wt)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=1e-3, rtol=2e-3)
+    for name, a, b in zip(WEIGHT_NAMES, gw_f, gw_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=5e-3,
+            err_msg=f"vit-small grad mismatch for {name}",
+        )
+
+
 def test_fast_gelu_matches_exact(setup, monkeypatch):
     """VIT2SPN_FAST_GELU swaps the in-kernel erf/gelu-grad transcendentals
     for exp-free rational approximations (tools/fit_gelu_rational.py).
