@@ -234,6 +234,15 @@ class FineTuneConfig:
     # (dsn_ssn/ucsdoct_ft_vit2spn.py:120-154).
     use_scheduler: bool = True
     use_early_stop: bool = True
+    # The reference INTENDS best-weight restore but its
+    # `best_weights = model.state_dict()` (octmnist_ft_vit2spn.py:119) keeps
+    # ALIASES of the live parameters that Adam updates in-place, so
+    # `load_state_dict(best_weights)` (:126) restores the CURRENT weights —
+    # a no-op. Every published fold therefore evaluates the FINAL epoch's
+    # weights (best + up-to-patience extra epochs). False (default)
+    # reproduces that; True enables a genuine best-epoch restore
+    # (framework improvement, PARITY.md deviations).
+    restore_best_weights: bool = False
 
 
 def replace(cfg, **kw):

@@ -20,12 +20,15 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
 
 def _load_library():
+    """Returns the loaded library, or None for the numpy fallback. A failed
+    build/load is memoized (_LIB = False) so a broken toolchain costs ONE
+    g++ attempt, not a 120 s-timeout subprocess per epoch/step call."""
     global _LIB
     if _LIB is not None or os.environ.get("VIT2SPN_NO_NATIVE"):
-        return _LIB
+        return _LIB or None
     with _LOCK:
         if _LIB is not None:
-            return _LIB
+            return _LIB or None
         so_path = os.path.abspath(
             os.path.join(_NATIVE_DIR, "libvit2spn_dataplane.so")
         )
@@ -38,12 +41,15 @@ def _load_library():
                     check=True, capture_output=True, timeout=120,
                 )
             except Exception:  # noqa: BLE001 — no compiler: numpy fallback
+                _LIB = False
                 return None
         if not os.path.exists(so_path):
+            _LIB = False
             return None
         try:
             lib = ctypes.CDLL(so_path)
         except OSError:
+            _LIB = False
             return None
         lib.vit2spn_gather_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,

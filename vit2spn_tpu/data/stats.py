@@ -100,7 +100,9 @@ def _figures(ds: Dataset, out_dir: str, samples_per_class: int = 5):
     k = ds.num_classes
     fig, axes = plt.subplots(k, samples_per_class,
                              figsize=(2 * samples_per_class, 2 * k))
-    axes = np.atleast_2d(axes)
+    # plt.subplots squeezes singleton dims (k=1 -> (cols,), cols=1 -> (k,));
+    # atleast_2d would orient the cols=1 case as (1, k) — reshape instead
+    axes = np.asarray(axes).reshape(k, samples_per_class)
     for ci in range(k):
         idx = np.flatnonzero(ds.labels == ci)[:samples_per_class]
         for j in range(samples_per_class):

@@ -107,7 +107,13 @@ def run_cv_protocol(
     mesh=None,
     eval_augment: bool = True,
     per_fold_test: bool = False,
+    trial: int = 0,
 ) -> CVResult:
+    """`trial_seed` re-draws the data (subsets + fold assignment);
+    `trial` re-draws only the training stochasticity (init/shuffle/aug
+    keys) with the data held fixed — the latter is what the reference's
+    repeated "retraining runs" vary (its subset and folds are pinned at
+    seed 42; multitrial/octmnist_ft_vit2spn.py:28,58,193)."""
     logger = logger or MetricLogger(echo=True)
     ds = dataset if dataset is not None else load_dataset(
         cfg.data.name, root=cfg.data.root
@@ -138,6 +144,7 @@ def run_cv_protocol(
             fold=fold,
             mesh=mesh,
             eval_augment=eval_augment,
+            trial=trial,
         )
         trainer.fit(train_fold, val_fold, weights, epochs=epochs,
                     tag=f"fold{fold}")
@@ -201,6 +208,10 @@ def _trial_state_key(cfg: FineTuneConfig, epochs) -> dict:
     key = dataclasses.asdict(cfg)
     key.pop("mesh", None)
     key["epochs_override"] = epochs
+    # v2: trials hold data fixed and vary training stochasticity (the
+    # reference's estimator); invalidates v1 state files, whose trials
+    # re-drew the subsets/folds instead
+    key["estimator"] = 2
     # normalize through JSON (tuples -> lists) so the in-memory key compares
     # equal to one read back from the state file
     return json.loads(json.dumps(key))
@@ -246,9 +257,13 @@ def run_multitrial(
     specificity / confidence (+ val mAUC across folds) — the published
     estimator (multitrial/octmnist_ft_vit2spn.py:230-241,249-263).
 
-    `cfg.num_trials > 1` repeats that whole run with shifted seeds (the
-    reference's "5 retraining runs", README.md:46, are manual re-executions);
-    `across_trials` then reports mean±std of the per-trial means.
+    `cfg.num_trials > 1` repeats that whole run with the DATA HELD FIXED
+    (same subsets, same fold assignment — the reference pins both at seed
+    42, multitrial/octmnist_ft_vit2spn.py:28,58,193) while the training
+    stochasticity (init, shuffles, augment/dropout keys) is re-drawn per
+    trial — exactly what varies between the reference's manual "5
+    retraining runs" (README.md:46), whose torch init and loader order are
+    unseeded. `across_trials` then reports mean±std of the per-trial means.
 
     `resume_path`: JSON file persisting each completed trial — a killed run
     resumes at the next trial instead of repeating hours of fine-tuning
@@ -262,7 +277,7 @@ def run_multitrial(
     for trial in range(len(trials), cfg.num_trials):
         res = run_cv_protocol(
             cfg, dataset, backbone_params, logger, epochs,
-            trial_seed=cfg.seed + trial, mesh=mesh, per_fold_test=True,
+            mesh=mesh, per_fold_test=True, trial=trial,
         )
         agg = res.multitrial_aggregate()
         trials.append({

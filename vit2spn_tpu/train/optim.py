@@ -9,8 +9,11 @@ torch semantics reproduced exactly:
     sub-threshold micro-improvements still count as bad epochs (pinned against
     torch in tests/test_train.py). The scale is fed into the jitted step as a
     traced scalar so no recompilation happens on lr changes.
-  * Early stopping on val loss with best-weight restore
-    (fine_tune_model, octmnist_ft_vit2spn.py:90-126).
+  * Early stopping on val loss (fine_tune_model, octmnist_ft_vit2spn.py:
+    90-126). The controller can carry a best-state snapshot, but note the
+    reference's own restore is a no-op (aliased state_dict — see
+    train/finetune.py docstring); the trainer only snapshots when
+    cfg.restore_best_weights opts into the genuine restore.
   * sklearn-style balanced class weights: n / (k * bincount)
     (compute_class_weight("balanced"), octmnist_ft_vit2spn.py:185-187).
 """

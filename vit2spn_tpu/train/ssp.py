@@ -137,6 +137,8 @@ class SSPTrainer:
             self._state_sharding = self._rep
         self.state = jax.device_put(state, self._state_sharding)
         self._device_images = None
+        self._staged_src = None  # host array currently staged (identity)
+        self._extract_fns = {}  # (augment, features) -> jitted extractor
         self._step_fn, self._step_idx_fn, self._run_steps_fn = self._build_step()
 
     def _try_pretrained_backbone(self, key):
@@ -160,12 +162,19 @@ class SSPTrainer:
         """Stage the full uint8 dataset in device HBM (OCTMNIST train is only
         76 MB). Steps then receive 4-byte indices instead of re-uploading the
         batch every step — host->device transfer drops out of the hot loop
-        entirely (the tunnel transfer latency was ~20% of step time)."""
+        entirely (the tunnel transfer latency was ~20% of step time).
+
+        Idempotent per source array: re-attaching the SAME array is free;
+        a DIFFERENT array re-stages (so fit() on a new dataset can never
+        silently train on a previously staged one)."""
+        if self._staged_src is images:
+            return True
         if images.nbytes > max_bytes:
             return False
         self._device_images = jax.device_put(
             jnp.asarray(images), replicated_sharding(self.mesh)
         )
+        self._staged_src = images
         return True
 
     # ------------------------------------------------------------------
@@ -454,9 +463,9 @@ class SSPTrainer:
         from vit2spn_tpu.data import native
 
         key = rngmod.root_key(cfg.seed)
-        on_device = self._device_images is not None or self.attach_dataset(
-            dataset.images
-        )
+        # attach_dataset is identity-cached: same array -> no-op, different
+        # array -> re-stage (never silently trains on a stale staged dataset)
+        on_device = self.attach_dataset(dataset.images)
         history = []
         for epoch in range(start_epoch, epochs):
             # Native host data-plane (data/native.py): seeded Fisher-Yates
@@ -549,20 +558,27 @@ class SSPTrainer:
             cfg.data.augment, enabled=False
         )
 
-        @jax.jit
-        def feats_fn(params, batch_u8, key):
-            v1, v2 = dual_view_batch(key, batch_u8, aug_cfg,
-                                     out_dtype=policy.compute_dtype)
-            if features == "pred":
-                pred, _ = dual_stream_forward(
-                    params, v1, v2, cfg, policy, train=False,
-                    attn_impl=self.attn_impl,
-                )
-                return pred
-            views = jnp.stack([v1, v2]) if cfg.dual_stream else v1[None]
-            f = _batched_features(params.online, views, cfg, policy,
-                                  self.attn_impl)
-            return f.transpose(1, 0, 2).reshape(batch_u8.shape[0], -1)
+        # memoize per (augment, features): a fresh @jax.jit closure per call
+        # would recompile the full model every invocation (3-8 min per
+        # compile on the tunneled TPU runtime)
+        feats_fn = self._extract_fns.get((augment, features))
+        if feats_fn is None:
+            @jax.jit
+            def feats_fn(params, batch_u8, key):
+                v1, v2 = dual_view_batch(key, batch_u8, aug_cfg,
+                                         out_dtype=policy.compute_dtype)
+                if features == "pred":
+                    pred, _ = dual_stream_forward(
+                        params, v1, v2, cfg, policy, train=False,
+                        attn_impl=self.attn_impl,
+                    )
+                    return pred
+                views = jnp.stack([v1, v2]) if cfg.dual_stream else v1[None]
+                f = _batched_features(params.online, views, cfg, policy,
+                                      self.attn_impl)
+                return f.transpose(1, 0, 2).reshape(batch_u8.shape[0], -1)
+
+            self._extract_fns[(augment, features)] = feats_fn
 
         feats = []
         n = len(dataset)
