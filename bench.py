@@ -95,7 +95,7 @@ def main(argv=None) -> None:
         if args.mode != "hires":
             ap.error("--cold only applies to --mode hires")
         return _bench_cold_epoch(trainer, src if isinstance(src, tuple)
-                                 else (src, src), rng=np.random.default_rng(0))
+                                 else (src, src))
     ds = synthetic_dataset(
         image_size=src, split_sizes={"train": 4 * cfg.effective_batch}, seed=0
     )
@@ -181,7 +181,7 @@ def _step_gflops_per_img(vit) -> float:
     return 8 * (vit.num_layers * per_layer + patch) / 1e9
 
 
-def _bench_cold_epoch(trainer, shape, rng) -> None:
+def _bench_cold_epoch(trainer, shape) -> None:
     """UCSD-protocol-shaped COLD epoch: 2000 grayscale JPEGs at the raw scan
     aspect (e.g. 496x512) decoded on host (PIL, 1 vCPU), uploaded to HBM,
     and trained for one full epoch — the end-to-end cost of the first epoch
@@ -211,12 +211,17 @@ def _bench_cold_epoch(trainer, shape, rng) -> None:
                 os.path.join(d, f"{i:05d}.jpg"), quality=90)
 
         eff = trainer.cfg.effective_batch
-        n_steps = max(1, n_imgs // eff)
+        # cover ALL n_imgs decoded images per epoch (ceil, wraparound pad) —
+        # floor would train only 1024 of the 2000 while charging the full
+        # decode against them
+        n_steps = -(-n_imgs // eff)
 
         def epoch(seed, images=None):
             if images is not None:
                 trainer.attach_dataset(images)
-            idx = rng.integers(0, n_imgs, (n_steps, eff))
+            idx = np.resize(
+                np.random.default_rng(seed).permutation(n_imgs), n_steps * eff
+            ).reshape(n_steps, eff)
             keys = jax.random.split(jax.random.key(seed), n_steps)
             m = trainer.train_epoch(idx, keys)
             return float(m["loss"].mean())  # forces the host fetch

@@ -41,6 +41,29 @@ def test_preset_families_match_reference_matrix():
     assert get_preset("ssp-ssl/ft-octmnist").init == "scratch"
 
 
+def test_ucsdoct_family_parity():
+    """Per-script ucsdoct quirks (grep-verified in the reference):
+    0.5/0.5 normalization and the 0.5/2 scheduler are the MAIN script ONLY
+    (ucsdoct_ft_vit2spn.py:42,288); all ablation-family ucsdoct scripts use
+    ImageNet stats (…:41), and every non-main non-multitrial one passes its
+    fine_tune_model neither a scheduler nor a patience counter (…:121);
+    multitrial keeps scheduler 0.1/3 + early stop (multitrial/…:244,116)."""
+    imagenet = (0.485, 0.456, 0.406)
+    main = get_preset("ft-ucsdoct")
+    assert main.data.augment.normalize_mean == (0.5, 0.5, 0.5)
+    assert main.use_scheduler and main.use_early_stop
+    for name in ("dsn-ssn/ft-ucsdoct-dual", "dsn-ssn/ft-ucsdoct-single",
+                 "sl-ssp/sl-ucsdoct", "sl-ssp/ssp-ucsdoct",
+                 "ssp-ssl/ft-ucsdoct-pt", "ssp-ssl/ft-ucsdoct-scratch"):
+        p = get_preset(name)
+        assert p.data.augment.normalize_mean == imagenet, name
+        assert not p.use_scheduler and not p.use_early_stop, name
+    mt = get_preset("multitrial/ft-ucsdoct")
+    assert mt.data.augment.normalize_mean == imagenet
+    assert mt.use_scheduler and mt.use_early_stop
+    assert mt.plateau_factor == 0.1 and mt.plateau_patience == 3
+
+
 def test_cli_presets_command(capsys):
     assert main(["presets"]) == 0
     out = capsys.readouterr().out

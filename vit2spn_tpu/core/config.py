@@ -95,8 +95,9 @@ class AugmentConfig:
     erasing_prob: float = 0.5  # RandomErasing(p=.5, scale=(.02,.2), ratio=(.3,3.3))
     erasing_scale: Tuple[float, float] = (0.02, 0.2)
     erasing_ratio: Tuple[float, float] = (0.3, 3.3)
-    # ImageNet stats everywhere except UCSD-OCT which uses 0.5/0.5
-    # (ucsdoct_ft_vit2spn.py:42).
+    # ImageNet stats everywhere except the MAIN UCSD-OCT fine-tune, which
+    # uses 0.5/0.5 (ucsdoct_ft_vit2spn.py:42); all ucsdoct ABLATION scripts
+    # use the ImageNet stats too (e.g. dsn_ssn/ucsdoct_ft_vit2spn.py:41).
     normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     # Sources larger than this are pre-shrunk separably before the affine

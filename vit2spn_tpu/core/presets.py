@@ -45,8 +45,14 @@ _UCSD_FT_DATA = DataConfig(
     num_classes=4,  # CNV/DME/DRUSEN/NORMAL (preprocessing/merge_ucsdoct.py:15)
     subset_size=2000,  # ucsdoct_ft_vit2spn.py:26
     holdout_split=True,
+    # 0.5/0.5 normalization is the MAIN script only (ucsdoct_ft_vit2spn.py:42)
     augment=AugmentConfig.ucsd(),
 )
+# Every OTHER ucsdoct script (dsn_ssn/, sl_ssp/, ssp_ssl/, multitrial/) uses
+# the ImageNet stats like the rest of the repo (e.g.
+# dsn_ssn/ucsdoct_ft_vit2spn.py:41, sl_ssp/sl_ucsdoct.py:41,
+# ssp_ssl/ucsdoct_ft_pt.py:41, multitrial/ucsdoct_ft_vit2spn.py:41).
+_UCSD_ABLATION_DATA = replace(_UCSD_FT_DATA, augment=AugmentConfig())
 
 
 def _ft(data: DataConfig, init: str, **kw) -> FineTuneConfig:
@@ -73,20 +79,13 @@ PRESETS["ft-ucsdoct"] = _ft(
 
 # --- dsn_ssn ablations (C7): dual vs single-stream checkpoints ---------------
 for _ds, _data in (("octmnist", _OCTMNIST_FT_DATA), ("octid", _OCTID_FT_DATA),
-                   ("ucsdoct", _UCSD_FT_DATA)):
+                   ("ucsdoct", _UCSD_ABLATION_DATA)):
     PRESETS[f"dsn-ssn/ft-{_ds}-dual"] = _ft(_data, "ssp")
     PRESETS[f"dsn-ssn/ft-{_ds}-single"] = _ft(_data, "ssp-single")
-# dsn_ssn/ucsdoct_ft_* drop scheduler + early stop
-# (dsn_ssn/ucsdoct_ft_vit2spn.py:120-154).
-for _v in ("dual", "single"):
-    PRESETS[f"dsn-ssn/ft-ucsdoct-{_v}"] = replace(
-        PRESETS[f"dsn-ssn/ft-ucsdoct-{_v}"],
-        use_scheduler=False, use_early_stop=False,
-    )
 
 # --- sl_ssp ablations (C8): supervised (ImageNet-init) vs SSP init -----------
 for _ds, _data in (("octmnist", _OCTMNIST_FT_DATA), ("octid", _OCTID_FT_DATA),
-                   ("ucsdoct", _UCSD_FT_DATA)):
+                   ("ucsdoct", _UCSD_ABLATION_DATA)):
     PRESETS[f"sl-ssp/sl-{_ds}"] = _ft(_data, "imagenet")  # sl_ssp/sl_*.py
     PRESETS[f"sl-ssp/ssp-{_ds}"] = _ft(_data, "ssp")  # sl_ssp/ssp_*.py
 
@@ -94,9 +93,22 @@ for _ds, _data in (("octmnist", _OCTMNIST_FT_DATA), ("octid", _OCTID_FT_DATA),
 # ssp_ssl/octmnist_ft.py:231 loads the SCRATCH export
 # (octmnist_vit2spn_tiny_scratch_model.pth) — this is the scratch arm.
 PRESETS["ssp-ssl/ft-octmnist"] = _ft(_OCTMNIST_FT_DATA, "scratch")
-for _ds, _data in (("octid", _OCTID_FT_DATA), ("ucsdoct", _UCSD_FT_DATA)):
+for _ds, _data in (("octid", _OCTID_FT_DATA), ("ucsdoct", _UCSD_ABLATION_DATA)):
     PRESETS[f"ssp-ssl/ft-{_ds}-pt"] = _ft(_data, "ssp")
     PRESETS[f"ssp-ssl/ft-{_ds}-scratch"] = _ft(_data, "scratch")
+
+# EVERY non-main, non-multitrial ucsdoct script passes its fine_tune_model
+# neither a scheduler nor a patience counter — grep-verified:
+# dsn_ssn/ucsdoct_ft_{vit2spn,vitspn}.py:121, sl_ssp/{sl,ssp}_ucsdoct.py:121,
+# ssp_ssl/ucsdoct_ft_{pt,scratch}.py:121 all define
+# fine_tune_model(..., criterion, epochs) with no ReduceLROnPlateau and no
+# early stop, unlike their octmnist/octid siblings.
+for _name in ("dsn-ssn/ft-ucsdoct-dual", "dsn-ssn/ft-ucsdoct-single",
+              "sl-ssp/sl-ucsdoct", "sl-ssp/ssp-ucsdoct",
+              "ssp-ssl/ft-ucsdoct-pt", "ssp-ssl/ft-ucsdoct-scratch"):
+    PRESETS[_name] = replace(
+        PRESETS[_name], use_scheduler=False, use_early_stop=False
+    )
 
 # --- multitrial family (C8): shrunken label budget + run-variance metrics ----
 PRESETS["multitrial/ft-octmnist"] = _ft(
@@ -104,7 +116,10 @@ PRESETS["multitrial/ft-octmnist"] = _ft(
     "ssp", num_trials=5,
 )
 PRESETS["multitrial/ft-octid"] = _ft(_OCTID_FT_DATA, "ssp", num_trials=5)
-PRESETS["multitrial/ft-ucsdoct"] = _ft(_UCSD_FT_DATA, "ssp", num_trials=5)
+# multitrial/ucsdoct_ft_vit2spn.py KEEPS the scheduler (factor 0.1 patience 3,
+# :244 — note: not the main script's 0.5/2) and early stop; its normalize is
+# the ImageNet stats (:41).
+PRESETS["multitrial/ft-ucsdoct"] = _ft(_UCSD_ABLATION_DATA, "ssp", num_trials=5)
 
 
 def get_preset(name: str) -> Config:

@@ -48,13 +48,17 @@ def _install_observers() -> None:
         _orig_hit = _compiler.log_persistent_cache_hit
         _orig_miss = _compiler.log_persistent_cache_miss
 
-        def _hit(module_name, cache_key):
-            _STATS["hit_modules"].append(str(module_name))
-            _orig_hit(module_name, cache_key)
+        # variadic: a jax-internal signature change must degrade the
+        # observability, not crash the compile path at call time
+        def _hit(*args, **kwargs):
+            if args:
+                _STATS["hit_modules"].append(str(args[0]))
+            _orig_hit(*args, **kwargs)
 
-        def _miss(module_name, cache_key):
-            _STATS["miss_modules"].append(str(module_name))
-            _orig_miss(module_name, cache_key)
+        def _miss(*args, **kwargs):
+            if args:
+                _STATS["miss_modules"].append(str(args[0]))
+            _orig_miss(*args, **kwargs)
 
         _compiler.log_persistent_cache_hit = _hit
         _compiler.log_persistent_cache_miss = _miss

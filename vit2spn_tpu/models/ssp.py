@@ -153,6 +153,14 @@ def dual_stream_forward(
     online_fused = f_online.transpose(1, 0, 2).reshape(b, -1)
     target_fused = f_target.transpose(1, 0, 2).reshape(b, -1)
 
+    if train and key is None and cfg.proj_dropout > 0:
+        # a silent fixed key would reuse ONE dropout mask across every step
+        # AND share it between the online and target passes — degenerate
+        # training the caller would never notice
+        raise ValueError(
+            "dual_stream_forward(train=True) with proj_dropout > 0 "
+            "requires an explicit `key`"
+        )
     dropout_key = key if key is not None else jax.random.key(0)
     proj = mlp_head_apply(
         params.heads["projection"],

@@ -28,11 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+# single source of truth for the pad/mask constants shared by the kernel
+# modules — a divergence between the two would silently change masking
+from vit2spn_tpu.ops.fused_block import NEG_INF, _round_up  # noqa: F401
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):

@@ -175,7 +175,6 @@ def _ln_bwd(dy, xhat, rstd, scale):
     dscale = jnp.sum(dy * xhat, axis=0)
     dbias = jnp.sum(dy, axis=0)
     dxhat = dy * scale
-    n = xhat.shape[-1]
     dx = rstd * (
         dxhat
         - jnp.mean(dxhat, axis=-1, keepdims=True)
