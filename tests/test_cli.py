@@ -179,3 +179,75 @@ def test_cli_extract(tmp_path):
     assert main(["extract", "ssp-single", "--out", out2, "--batch-size", "16",
                  *tiny]) == 0
     np.testing.assert_array_equal(data["features"], np.load(out2)["features"])
+
+
+def test_convert_rejects_mismatched_pytree(tmp_path):
+    """A key-mismatched pytree source (e.g. a full training checkpoint, or a
+    different geometry) must ERROR, not silently export the random template
+    as a 'converted' .pth."""
+    import jax
+
+    from vit2spn_tpu.core.config import ViTConfig
+    from vit2spn_tpu.models.vit import init_vit
+    from vit2spn_tpu.train import checkpoint as ckpt
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=24,
+                    num_layers=2, num_heads=2, mlp_dim=48)
+    params = init_vit(jax.random.key(5), cfg)
+    # wrap like a training checkpoint: keys prefixed, no backbone match
+    src = str(tmp_path / "ckpt.npz")
+    ckpt.save(src, {"params": {"online": jax.device_get(params)}}, {})
+    ov = [f"vit.{k}={getattr(cfg, k)}" for k in
+          ("image_size", "patch_size", "hidden_size", "num_layers",
+           "num_heads", "mlp_dim")]
+    with pytest.raises(KeyError):
+        main(["convert", src, str(tmp_path / "o.pth"),
+              *sum((["-o", o] for o in ov), [])])
+
+
+def test_resolve_backbone_strict_on_explicit_init_path(tmp_path):
+    """An explicit init_path .npz whose keys don't match the configured
+    backbone must raise (reference fine-tune ingest is a strict
+    load_state_dict, octmnist_ft_vit2spn.py:190), not silently fine-tune a
+    random init."""
+    import jax
+
+    from vit2spn_tpu.cli import _resolve_backbone
+    from vit2spn_tpu.core.config import ViTConfig
+    from vit2spn_tpu.models.vit import init_vit
+    from vit2spn_tpu.train import checkpoint as ckpt
+    from vit2spn_tpu.utils.logging import MetricLogger
+
+    good_cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=24,
+                         num_layers=2, num_heads=2, mlp_dim=48)
+    path = str(tmp_path / "export.npz")
+    ckpt.save(path, jax.device_get(init_vit(jax.random.key(0), good_cfg)), {})
+
+    ft = FineTuneConfig(vit=good_cfg, init="ssp", init_path=path)
+    logger = MetricLogger(echo=False)
+    out = _resolve_backbone(ft, logger)  # matching geometry: loads fine
+    assert out is not None
+
+    # wrong geometry (same tree, different shapes): loud reshape error
+    wrong_geom = FineTuneConfig(
+        vit=ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                      num_layers=2, num_heads=2, mlp_dim=64),
+        init="ssp", init_path=path,
+    )
+    with pytest.raises((KeyError, ValueError)):
+        _resolve_backbone(wrong_geom, logger)
+
+    # wrong FILE (a full training checkpoint, keys prefixed): strict
+    # KeyError instead of silently fine-tuning the random template
+    wrapped = str(tmp_path / "training_ckpt.npz")
+    ckpt.save(
+        wrapped,
+        {"params": {"online": jax.device_get(init_vit(jax.random.key(1),
+                                                      good_cfg))}},
+        {},
+    )
+    with pytest.raises(KeyError):
+        _resolve_backbone(
+            FineTuneConfig(vit=good_cfg, init="ssp", init_path=wrapped),
+            logger,
+        )

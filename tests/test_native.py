@@ -48,3 +48,17 @@ def test_numpy_fallback(monkeypatch):
     images = np.arange(4 * 2 * 2, dtype=np.uint8).reshape(4, 2, 2, 1)
     out = native.gather_batch(images, np.array([3, 0]))
     np.testing.assert_array_equal(out, images[[3, 0]])
+
+
+def test_gather_out_of_range_matches_numpy(lib_ok):
+    """The C gather has no bounds checks; the wrapper must route negative
+    (numpy wraparound) and out-of-range indices through numpy instead of
+    reading out-of-bounds memory."""
+    from vit2spn_tpu.data import native
+
+    images = np.arange(4 * 3, dtype=np.uint8).reshape(4, 3)
+    np.testing.assert_array_equal(
+        native.gather_batch(images, np.array([-1, 0])), images[[-1, 0]]
+    )
+    with pytest.raises(IndexError):
+        native.gather_batch(images, np.array([0, 7]))

@@ -19,8 +19,11 @@ CONFIGS = [
     ("fwd t16 vmem34", {"VIT2SPN_FWD_TILE": "16", "VIT2SPN_FWD_VMEM_MB": "34"}),
 ]
 
+# every env var fused_block.py reads at trace time — a leaked value that
+# isn't cleared here would silently skew EVERY config, including baseline
 ENV_KEYS = ["VIT2SPN_BWD_TILE", "VIT2SPN_BWD_VMEM_MB", "VIT2SPN_MERGED_BWD",
-            "VIT2SPN_FWD_TILE", "VIT2SPN_FWD_VMEM_MB"]
+            "VIT2SPN_FWD_TILE", "VIT2SPN_FWD_VMEM_MB",
+            "VIT2SPN_MLP_BWD_TILE", "VIT2SPN_MLP_BWD_VMEM_MB"]
 
 
 def main():

@@ -114,8 +114,24 @@ def _resolve_backbone(cfg: FineTuneConfig, logger):
         from vit2spn_tpu.models.hf_convert import load_pretrained_vit_tiny
 
         return load_pretrained_vit_tiny(cfg.vit, path=path)
+    if path.endswith(".npz"):
+        import numpy as _np
+
+        with _np.load(path) as f:
+            is_pytree = any("/" in k for k in f.files)
+        if not is_pytree:  # HF-named .npz (dot keys) — route to the converter
+            from vit2spn_tpu.models.hf_convert import (
+                convert_hf_state_dict,
+                load_local_state,
+            )
+
+            return convert_hf_state_dict(load_local_state(path), cfg.vit)
+    # STRICT like the reference's fine-tune ingest (load_state_dict default,
+    # octmnist_ft_vit2spn.py:190): a key mismatch (wrong file, different vit
+    # geometry, a full training checkpoint instead of a backbone export) must
+    # error loudly, not silently fine-tune a random init
     template = init_vit(jax.random.key(0), cfg.vit)
-    return ckpt.restore(path, template, strict=False)
+    return ckpt.restore(path, template, strict=True)
 
 
 def cmd_run(args):
@@ -268,7 +284,21 @@ def cmd_extract(args):
             "initial (pretrained/random) weights",
         )
     ds = load_dataset(cfg.data.name, root=cfg.data.root)
-    split = ds.split(args.split) if args.split in ds.splits else ds
+    if args.split is None:  # default: train split when present, else whole
+        split = ds.split("train") if "train" in ds.splits else ds
+    elif args.split in ds.splits:
+        split = ds.split(args.split)
+    elif args.split == "all":
+        split = ds
+    else:
+        # an EXPLICIT unknown split must error — silently extracting the
+        # whole dataset would mislabel the features file
+        print(
+            f"unknown split {args.split!r} for dataset {ds.name!r} "
+            f"(available: {sorted(ds.splits) or ['all']})",
+            file=sys.stderr,
+        )
+        return 2
     feats, labels = trainer.extract_features(
         split, batch_size=args.batch_size, augment=args.augment,
         features=args.features,
@@ -300,9 +330,11 @@ def cmd_convert(args):
     else:
         is_pytree = False
     if is_pytree:
-        # our path-flattened pytree export
+        # our path-flattened pytree export; STRICT: a mismatched source
+        # (full training checkpoint, different geometry) must error, not
+        # silently export the random template as a "converted" .pth
         params = ckpt.restore(src, init_vit(jax.random.key(0), vit_cfg),
-                              strict=False)
+                              strict=True)
     else:  # HF-named state dict: .pth/.pt/.safetensors or an HF-keyed .npz
         params = convert_hf_state_dict(load_local_state(src), vit_cfg)
 
@@ -352,7 +384,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="extract online-network features over a dataset (serving path)",
     )
     ex.add_argument("preset", choices=sorted(PRESETS))
-    ex.add_argument("--split", default="train")
+    ex.add_argument("--split", default=None,
+                    help="dataset split (default: 'train' when the dataset "
+                    "has one, else the whole dataset); 'all' = whole "
+                    "dataset; an unknown name is an error")
     ex.add_argument("--checkpoint", default=None,
                     help="SSP training checkpoint.npz (default: preset dir)")
     ex.add_argument("--out", default="./output/features.npz")

@@ -77,7 +77,15 @@ def gather_batch(images: np.ndarray, idx: np.ndarray,
     library is unavailable or the array isn't a contiguous uint8 block."""
     lib = _load_library()
     idx = np.ascontiguousarray(np.asarray(idx).reshape(-1), dtype=np.int64)
-    if lib is None or images.dtype != np.uint8 or not images.flags.c_contiguous:
+    if (
+        lib is None
+        or images.dtype != np.uint8
+        or not images.flags.c_contiguous
+        # the C gather does raw memcpy arithmetic with no bounds checks;
+        # route negative (numpy wraparound semantics) or out-of-range
+        # indices through numpy, which handles/raises correctly
+        or (len(idx) and (idx.min() < 0 or idx.max() >= len(images)))
+    ):
         return images[idx]
     row_bytes = int(np.prod(images.shape[1:]))
     if out is None:
