@@ -58,7 +58,10 @@ def test_ucsdoct_family_parity():
         p = get_preset(name)
         assert p.data.augment.normalize_mean == imagenet, name
         assert not p.use_scheduler and not p.use_early_stop, name
+        # their Adam takes no weight_decay (…:224) unlike main/multitrial
+        assert p.weight_decay == 0.0, name
     mt = get_preset("multitrial/ft-ucsdoct")
+    assert mt.weight_decay == 1e-4
     assert mt.data.augment.normalize_mean == imagenet
     assert mt.use_scheduler and mt.use_early_stop
     assert mt.plateau_factor == 0.1 and mt.plateau_patience == 3

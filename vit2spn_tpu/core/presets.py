@@ -102,12 +102,15 @@ for _ds, _data in (("octid", _OCTID_FT_DATA), ("ucsdoct", _UCSD_ABLATION_DATA)):
 # dsn_ssn/ucsdoct_ft_{vit2spn,vitspn}.py:121, sl_ssp/{sl,ssp}_ucsdoct.py:121,
 # ssp_ssl/ucsdoct_ft_{pt,scratch}.py:121 all define
 # fine_tune_model(..., criterion, epochs) with no ReduceLROnPlateau and no
-# early stop, unlike their octmnist/octid siblings.
+# early stop, unlike their octmnist/octid siblings — AND their Adam takes
+# no weight_decay either (…:224 `Adam(model.parameters(), lr=1e-4)` vs the
+# main script's `weight_decay=1e-4`, ucsdoct_ft_vit2spn.py:287).
 for _name in ("dsn-ssn/ft-ucsdoct-dual", "dsn-ssn/ft-ucsdoct-single",
               "sl-ssp/sl-ucsdoct", "sl-ssp/ssp-ucsdoct",
               "ssp-ssl/ft-ucsdoct-pt", "ssp-ssl/ft-ucsdoct-scratch"):
     PRESETS[_name] = replace(
-        PRESETS[_name], use_scheduler=False, use_early_stop=False
+        PRESETS[_name], use_scheduler=False, use_early_stop=False,
+        weight_decay=0.0,
     )
 
 # --- multitrial family (C8): shrunken label budget + run-variance metrics ----
