@@ -15,7 +15,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # XLA block at tight tolerances: pin the exact gelu there. The production
 # default (fast rational gelu, ops/fused_block.py) is covered by the
 # dedicated fast-vs-exact test, which sets this to "1" itself.
-os.environ.setdefault("VIT2SPN_FAST_GELU", "0")
+os.environ["VIT2SPN_FAST_GELU"] = "0"  # unconditional: a benching shell may export 1
 
 import jax  # noqa: E402
 

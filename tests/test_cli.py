@@ -49,9 +49,9 @@ def test_ucsdoct_family_parity():
     fine_tune_model neither a scheduler nor a patience counter (…:121);
     multitrial keeps scheduler 0.1/3 + early stop (multitrial/…:244,116)."""
     imagenet = (0.485, 0.456, 0.406)
-    main = get_preset("ft-ucsdoct")
-    assert main.data.augment.normalize_mean == (0.5, 0.5, 0.5)
-    assert main.use_scheduler and main.use_early_stop
+    main_preset = get_preset("ft-ucsdoct")
+    assert main_preset.data.augment.normalize_mean == (0.5, 0.5, 0.5)
+    assert main_preset.use_scheduler and main_preset.use_early_stop
     for name in ("dsn-ssn/ft-ucsdoct-dual", "dsn-ssn/ft-ucsdoct-single",
                  "sl-ssp/sl-ucsdoct", "sl-ssp/ssp-ucsdoct",
                  "ssp-ssl/ft-ucsdoct-pt", "ssp-ssl/ft-ucsdoct-scratch"):

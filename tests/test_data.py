@@ -46,10 +46,25 @@ def test_octmnist_npz_roundtrip(tmp_path):
         )
 
 
-def test_octmnist_synthetic_fallback_sizes():
+def test_octmnist_synthetic_fallback_sizes(monkeypatch):
+    # capture the requested split sizes instead of materializing the full
+    # ~108k-image synthetic build (tens of seconds on this 1-vCPU host)
+    import vit2spn_tpu.data.datasets as dsmod
+
+    captured = {}
+    real = dsmod.synthetic_dataset
+
+    def capturing(*args, **kw):
+        captured.update(kw.get("split_sizes") or {})
+        kw["split_sizes"] = {k: max(v // 1000, 4)
+                             for k, v in kw["split_sizes"].items()}
+        return real(*args, **kw)
+
+    monkeypatch.setattr(dsmod, "synthetic_dataset", capturing)
     ds = load_octmnist(root="/nonexistent")
     # reference split sizes (97,477 train — README.md:20)
-    assert len(ds.split("train")) == 97477
+    assert captured["train"] == 97477
+    assert set(ds.splits) >= {"train", "test"}
     with pytest.raises(FileNotFoundError):
         load_octmnist(root="/nonexistent", allow_synthetic=False)
 

@@ -1,6 +1,5 @@
 """Fused Pallas block kernel vs the XLA block (interpret mode on CPU)."""
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -125,7 +124,7 @@ def _stack_weights(key, layers=3):
     return cfg, blocks
 
 
-def test_backbone_forward_matches_per_layer(setup):
+def test_backbone_forward_matches_per_layer():
     """Whole-backbone single-grid kernel == per-layer scan of XLA blocks."""
     from vit2spn_tpu.ops.fused_block import fused_backbone
 

@@ -70,6 +70,33 @@ def test_sensitivity_specificity_perfect_and_random():
     assert sens == 1.0 and spec == 1.0
 
 
+def test_sensitivity_specificity_off_diagonal():
+    """Hand-computed asymmetric confusion matrix — catches a sens/spec swap,
+    a transposed-cm indexing bug, and micro-vs-macro averaging (the diagonal
+    case is blind to all three)."""
+    # rows = true, cols = predicted
+    cm = np.array([[8, 2],
+                   [4, 6]])
+    # class 0: tp=8 fn=2 -> sens 0.8; tn=6 fp=4 -> spec 0.6
+    # class 1: tp=6 fn=4 -> sens 0.6; tn=8 fp=2 -> spec 0.8
+    sens, spec = sensitivity_specificity(cm)
+    np.testing.assert_allclose(sens, (0.8 + 0.6) / 2)
+    np.testing.assert_allclose(spec, (0.6 + 0.8) / 2)
+    # asymmetric 3-class: macro-average of per-class rates
+    cm3 = np.array([[5, 1, 0],
+                    [2, 7, 1],
+                    [0, 3, 9]])
+    sens3, spec3 = sensitivity_specificity(cm3)
+    np.testing.assert_allclose(sens3, np.mean([5 / 6, 7 / 10, 9 / 12]))
+    n = cm3.sum()
+    specs = []
+    for i in range(3):
+        fp = cm3[:, i].sum() - cm3[i, i]
+        tn = n - cm3[i].sum() - fp
+        specs.append(tn / (tn + fp))
+    np.testing.assert_allclose(spec3, np.mean(specs))
+
+
 def test_stratified_kfold_properties():
     labels = np.repeat(np.arange(4), [50, 30, 15, 5])
     folds = list(stratified_kfold(labels, 5, seed=0))

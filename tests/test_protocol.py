@@ -15,11 +15,6 @@ from vit2spn_tpu.utils.logging import MetricLogger
 QUIET = MetricLogger(echo=False)
 
 
-@pytest.fixture(scope="module")
-def proto_cfg(request):
-    tiny_vit = request.getfixturevalue  # no-op; use module-level build below
-
-
 def _cfg(tiny_ft, **kw):
     data = DataConfig(
         name="synthetic",
@@ -98,8 +93,24 @@ def test_run_multitrial_output_shape(tiny_ft):
     ds = synthetic_dataset(split_sizes={"train": 96, "test": 48}, seed=9)
     out = run_multitrial(cfg, dataset=ds, logger=QUIET)
     assert len(out["trials"]) == 2
-    assert out["aggregate"] == out["trials"][0]["aggregate"]
-    assert "across_trials" in out
+    # aggregate must be the FIRST trial's aggregate, recomputed independently
+    # from that trial's recorded per-fold metrics (not compared to itself)
+    t0 = out["trials"][0]
+    for k in ("accuracy", "sensitivity", "specificity", "confidence"):
+        np.testing.assert_allclose(
+            out["aggregate"][k]["mean"],
+            np.mean([m[k] for m in t0["fold_metrics"]]),
+        )
+    np.testing.assert_allclose(
+        out["aggregate"]["mauc"]["mean"], np.mean(t0["fold_aucs"])
+    )
+    # across_trials averages the per-trial means
+    np.testing.assert_allclose(
+        out["across_trials"]["mauc"]["mean"],
+        np.mean([np.mean(t["fold_aucs"]) for t in out["trials"]]),
+    )
+    # trials must actually differ (init/shuffle keys are re-drawn per trial)
+    assert out["trials"][0]["fold_aucs"] != out["trials"][1]["fold_aucs"]
     for t in out["trials"]:
         assert len(t["fold_metrics"]) == cfg.k_folds
 
