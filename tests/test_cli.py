@@ -254,3 +254,34 @@ def test_resolve_backbone_strict_on_explicit_init_path(tmp_path):
             FineTuneConfig(vit=good_cfg, init="ssp", init_path=wrapped),
             logger,
         )
+
+
+def test_cli_inspect(tmp_path, capsys):
+    """`vit2spn inspect` lists keys/shapes/dtypes + metadata for .npz
+    exports and torch state dicts — the diagnostic companion to the strict
+    interop loads."""
+    import jax
+
+    from vit2spn_tpu.core.config import ViTConfig
+    from vit2spn_tpu.models.vit import init_vit
+    from vit2spn_tpu.train import checkpoint as ckpt
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=24,
+                    num_layers=1, num_heads=2, mlp_dim=48)
+    path = str(tmp_path / "export.npz")
+    ckpt.save(path, jax.device_get(init_vit(jax.random.key(0), cfg)),
+              {"format": "vit_backbone", "epoch": 3})
+    assert main(["inspect", path]) == 0
+    out = capsys.readouterr().out
+    assert "patch_embed/kernel" in out
+    assert "float32" in out
+
+    torch = pytest.importorskip("torch")
+    pth = str(tmp_path / "sd.pth")
+    torch.save({"vit.embeddings.cls_token": torch.zeros(1, 1, 24)}, pth)
+    assert main(["inspect", pth]) == 0
+    out = capsys.readouterr().out
+    # load_local_state normalizes the reference's `vit.` export prefix away
+    assert "embeddings.cls_token  (1, 1, 24)" in out
+
+    assert main(["inspect", str(tmp_path / "x.bin")]) == 2

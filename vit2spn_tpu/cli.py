@@ -17,6 +17,8 @@ One runnable command per reference script (SURVEY.md section 7):
   vit2spn extract ssp-single --out f.npz  online features over a dataset
                                           (extract_online_features surface,
                                           dsn_ssn/ssp_single.py:140-156)
+  vit2spn inspect ckpt.npz                keys/shapes/dtypes + metadata of a
+                                          checkpoint (.npz/.pth/.safetensors)
 
 Config overrides use dotted keys: `vit2spn run ssp -o epochs=5 -o
 data.root=/data -o mesh.model_parallel=2`. The model-zoo shorthand
@@ -351,6 +353,44 @@ def cmd_convert(args):
     return 0
 
 
+def cmd_inspect(args):
+    """Print a checkpoint's keys/shapes/dtypes + metadata without loading a
+    model — the diagnostic companion to the STRICT interop loads (a strict
+    KeyError names only the first few mismatches; this shows everything).
+    Handles our .npz exports/checkpoints and torch/.safetensors state
+    dicts."""
+    path = args.path
+    if path.endswith(".npz"):
+        rows, meta = [], {}
+        with np.load(path) as f:
+            for k in sorted(f.files):
+                if k == "__metadata__":  # uint8-encoded JSON (checkpoint.py)
+                    meta = json.loads(f[k].tobytes().decode())
+                    continue
+                arr = f[k]
+                rows.append((k, tuple(arr.shape), str(arr.dtype),
+                             arr.nbytes))
+    elif path.endswith((".pth", ".pt", ".safetensors")):
+        from vit2spn_tpu.models.hf_convert import load_local_state
+
+        state = load_local_state(path)
+        rows = [(k, tuple(np.shape(v)), str(np.asarray(v).dtype),
+                 np.asarray(v).nbytes) for k, v in sorted(state.items())]
+        meta = {}
+    else:
+        print(f"unsupported checkpoint format {path!r}", file=sys.stderr)
+        return 2
+    for k, shape, dtype, _ in rows:
+        print(f"{k}  {shape}  {dtype}")
+    total = sum(r[3] for r in rows)
+    n_params = sum(int(np.prod(r[1])) for r in rows if r[1])
+    print(f"-- {len(rows)} arrays, {n_params:,} elements, "
+          f"{total / 2**20:.1f} MiB", file=sys.stderr)
+    if meta:
+        print(f"-- metadata: {json.dumps(meta)}", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vit2spn", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -408,6 +448,14 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("-o", "--override", action="append",
                     help="dotted config override, e.g. vit.hidden_size=192")
     cv.set_defaults(fn=cmd_convert)
+
+    ins = sub.add_parser(
+        "inspect",
+        help="list a checkpoint's keys/shapes/dtypes + metadata "
+        "(.npz / .pth / .safetensors)",
+    )
+    ins.add_argument("path")
+    ins.set_defaults(fn=cmd_inspect)
 
     pl = sub.add_parser("plot", help="reporting figures")
     pl.add_argument("plot_cmd", choices=["radar"])
