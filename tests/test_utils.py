@@ -113,3 +113,33 @@ def test_device_memory_report_shape(monkeypatch):
     assert stats["bytes_in_use_mb"] == 3.0
     assert stats["peak_bytes_mb"] == 5.0
     assert stats["bytes_limit_mb"] == 16 * 1024.0
+
+
+def test_metric_logger_tensorboard(tmp_path):
+    """Optional TB mirroring (SURVEY.md section 5 'JSONL + optional TB'):
+    numeric fields become scalars tagged <event>/<field>, stepped per event
+    type; non-numeric fields are skipped; JSONL is unaffected."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from vit2spn_tpu.utils.logging import MetricLogger
+
+    tb_dir = str(tmp_path / "tb")
+    with MetricLogger(str(tmp_path / "m.jsonl"), echo=False,
+                      tb_dir=tb_dir) as lg:
+        lg.log("ssp_epoch", epoch=1, loss=-0.5, note="text-skipped")
+        lg.log("ssp_epoch", epoch=2, loss=-0.7)
+        lg.log("checkpoint", path="/x")  # no numeric fields
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(tb_dir)
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"ssp_epoch/epoch", "ssp_epoch/loss"} <= tags
+    assert "ssp_epoch/note" not in tags
+    losses = [(e.step, e.value) for e in acc.Scalars("ssp_epoch/loss")]
+    assert losses == [(0, pytest.approx(-0.5)), (1, pytest.approx(-0.7))]
+    # JSONL still intact
+    lines = (tmp_path / "m.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 3

@@ -144,7 +144,11 @@ def cmd_run(args):
     cfg = _apply_overrides(get_preset(args.preset), args.override)
     out_dir = args.output_dir or getattr(cfg, "checkpoint_dir", "./output")
     os.makedirs(out_dir, exist_ok=True)
-    logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"))
+    logger = MetricLogger(
+        os.path.join(out_dir, "metrics.jsonl"),
+        tb_dir=os.path.join(out_dir, "tb") if getattr(args, "tb", False)
+        else None,
+    )
 
     profile_cm = contextlib.nullcontext()
     if getattr(args, "profile", False):
@@ -405,6 +409,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--profile", action="store_true",
                    help="capture a device trace + per-op breakdown into "
                         "<output-dir>/trace")
+    r.add_argument("--tb", action="store_true",
+                   help="mirror numeric metrics to TensorBoard scalars in "
+                        "<output-dir>/tb (JSONL is always written)")
     r.set_defaults(fn=cmd_run)
 
     sub.add_parser("presets", help="list presets").set_defaults(fn=cmd_presets)
