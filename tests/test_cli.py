@@ -16,6 +16,23 @@ def test_all_presets_resolve():
         assert isinstance(cfg, (SSPConfig, FineTuneConfig))
 
 
+def test_ft_presets_uniform_constants():
+    """Constants the audited reference scripts share UNIFORMLY (batch 128,
+    50 epochs, 10 folds, Adam lr 1e-4, seed 42 — grep-fingerprinted across
+    all ~30 scripts, VALIDATION.md constants audit). A preset drifting from
+    these is a regression, not a quirk."""
+    for name in PRESETS:
+        cfg = get_preset(name)
+        if not isinstance(cfg, FineTuneConfig):
+            continue
+        assert cfg.batch_size == 128, name
+        assert cfg.epochs == 50, name
+        assert cfg.k_folds == 10, name
+        assert cfg.learning_rate == 1e-4, name
+        assert cfg.seed == 42, name
+        assert cfg.head_hidden == 128 and cfg.head_dropout == 0.5, name
+
+
 def test_preset_families_match_reference_matrix():
     # SSP family (C1-C3)
     assert get_preset("ssp").dual_stream and get_preset("ssp").pretrained_init
