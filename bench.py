@@ -17,12 +17,19 @@ RTX 6000 per-device figure is estimated analytically:
 vs_baseline therefore = measured / 565. The BASELINE.json target is >=3x.
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The one-line contract holds under failure too: a backend outage (the axon
+tunnel can be down — BENCH_r03.json recorded rc=1 with a raw traceback) gets
+a bounded init probe with retries, and any error degrades to ONE parseable
+`{"metric", "value": null, ..., "error"}` line on stdout (traceback to
+stderr), so a driver artifact is never a stack dump.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -181,6 +188,44 @@ def _step_gflops_per_img(vit) -> float:
     return 8 * (vit.num_layers * per_layer + patch) / 1e9
 
 
+def _probe_backend(retries: int = None, timeout_s: float = None,
+                   wait_s: float = None):
+    """Bounded backend-init probe in a SUBPROCESS: a broken tunnel can HANG
+    device init (observed during the round-3 axon outage), not just raise,
+    so an in-process try/except cannot bound it. Returns None when a device
+    backend comes up, else a one-line error description.
+
+    Defaults come from VIT2SPN_PROBE_{RETRIES,TIMEOUT_S,WAIT_S} (so the
+    contract test — and an impatient operator — can shrink the backoff)."""
+    import subprocess
+    import sys as _sys
+
+    env = os.environ
+    if retries is None:
+        retries = int(env.get("VIT2SPN_PROBE_RETRIES", 3))
+    if timeout_s is None:
+        timeout_s = float(env.get("VIT2SPN_PROBE_TIMEOUT_S", 240.0))
+    if wait_s is None:
+        wait_s = float(env.get("VIT2SPN_PROBE_WAIT_S", 30.0))
+    last = "unknown"
+    for i in range(retries):
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax; print(jax.devices())"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if r.returncode == 0:
+                return None
+            tail = (r.stderr or "").strip().splitlines()
+            last = tail[-1] if tail else f"device init exited rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"device init timed out after {timeout_s:g}s"
+        if i + 1 < retries:
+            time.sleep(wait_s)
+    return last
+
+
 def _bench_cold_epoch(trainer, shape) -> None:
     """UCSD-protocol-shaped COLD epoch: 2000 grayscale JPEGs at the raw scan
     aspect (e.g. 496x512) decoded on host (PIL, 1 vCPU), uploaded to HBM,
@@ -242,20 +287,24 @@ def _bench_cold_epoch(trainer, shape) -> None:
 
     n_chips = jax.device_count()
     trained = n_steps * eff
+    # numerator = UNIQUE decoded images (n_imgs), matching the metric's
+    # narrative; the ceil-covered epoch trains `trained` samples (wraparound
+    # pad duplicates included) — reported in detail, not in the headline
     print(
         json.dumps(
             {
                 "metric": "ssp_cold_epoch_images_per_sec_per_chip_hires",
-                "value": round(trained / t_cold / n_chips, 2),
+                "value": round(n_imgs / t_cold / n_chips, 2),
                 "unit": "images/s/chip",
                 # the RTX baseline is a steady-state TRAINING estimate; the
                 # cold epoch has no published counterpart — labeled clearly
                 "vs_train_baseline": round(
-                    trained / t_cold / n_chips / RTX6000_EST_IMG_PER_SEC, 3
+                    n_imgs / t_cold / n_chips / RTX6000_EST_IMG_PER_SEC, 3
                 ),
                 "detail": {
                     "source_shape": f"{h}x{w}",
                     "n_images": n_imgs,
+                    "trained_samples": trained,
                     "host_decode_s": round(t_decode, 2),
                     "cold_epoch_s": round(t_cold, 2),
                     "warm_epoch_s": round(t_warm, 2),
@@ -337,4 +386,25 @@ def _bench_inference(trainer, ds, rng) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    err = _probe_backend()
+    if err is None:
+        try:
+            main()
+            sys.exit(0)
+        except SystemExit:
+            raise  # argparse usage errors keep their own exit path
+        except Exception as e:  # noqa: BLE001 — stdout stays one JSON line
+            import traceback
+
+            traceback.print_exc()  # full detail to stderr only
+            err = f"{type(e).__name__}: {e}"
+    print(json.dumps({
+        "metric": "ssp_images_per_sec_per_chip",
+        "value": None,
+        "unit": "images/s/chip",
+        "vs_baseline": None,
+        "error": err,
+    }))
+    sys.exit(1)

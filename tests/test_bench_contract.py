@@ -1,0 +1,52 @@
+"""bench.py's driver contract: stdout is ONE JSON line, even under a backend
+outage (BENCH_r03.json recorded an rc=1 raw traceback when the axon tunnel
+was down — the driver's `"parsed": null` artifact this module prevents).
+
+The probe runs device init in a SUBPROCESS because the real outage HUNG
+`jax.devices()` rather than raising; an in-process try/except cannot bound
+that. These tests force the failure with an unknown JAX_PLATFORMS value,
+which makes the probe's child process fail fast.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_BROKEN = {
+    **os.environ,
+    "JAX_PLATFORMS": "no_such_backend",
+    "JAX_PLATFORM_NAME": "no_such_backend",
+    "VIT2SPN_PROBE_RETRIES": "2",
+    "VIT2SPN_PROBE_WAIT_S": "0",
+    "VIT2SPN_PROBE_TIMEOUT_S": "120",
+}
+
+
+def test_probe_backend_reports_broken_backend(monkeypatch):
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+    for k, v in _BROKEN.items():
+        monkeypatch.setenv(k, v)
+    err = bench._probe_backend(retries=1, wait_s=0.0, timeout_s=120.0)
+    assert err is not None and err != ""
+
+
+def test_bench_outage_degrades_to_one_json_error_line():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=_BROKEN, timeout=300, cwd=REPO,
+    )
+    assert r.returncode == 1
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, f"stdout must be ONE line, got: {r.stdout!r}"
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "ssp_images_per_sec_per_chip"
+    assert rec["value"] is None
+    assert rec["vs_baseline"] is None
+    assert rec["error"]
