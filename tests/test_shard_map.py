@@ -52,6 +52,54 @@ def test_shard_map_matches_gspmd(det_cfg):
     np.testing.assert_allclose(p_s, p_g, atol=1e-5)
 
 
+def test_shard_map_masked_tail_matches_gspmd(det_cfg):
+    """The weight-masked partial accumulation group (ssp_vit2spn_tiny.py:215)
+    must produce the SAME update in both dist modes: the shard_map path
+    normalizes by the global (psum'd) weight sum, so a tail whose real
+    samples land unevenly across shards still matches GSPMD exactly."""
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 32}, seed=7)
+    # eff = 16; 12 real samples + 4 weight-0 pads. The pads sit at the END of
+    # the flat batch, so the 8 data shards hold UNEQUAL real-sample counts —
+    # a per-shard mean would mis-normalize; the global denominator must not.
+    batch = ds.images[:16]
+    w = np.array([1.0] * 12 + [0.0] * 4, np.float32)
+    key = jax.random.key(4)
+
+    tr_g = SSPTrainer(det_cfg, logger=QUIET, dist_mode="gspmd")
+    tr_s = SSPTrainer(det_cfg, logger=QUIET, dist_mode="shard_map")
+    loss_g = float(tr_g.train_step(batch, key, w=w)["loss"])
+    loss_s = float(tr_s.train_step(batch, key, w=w)["loss"])
+    assert loss_s == pytest.approx(loss_g, abs=1e-5)
+
+    p_g = jax.device_get(tr_g.state.params.online["patch_embed"]["kernel"])
+    p_s = jax.device_get(tr_s.state.params.online["patch_embed"]["kernel"])
+    np.testing.assert_allclose(p_s, p_g, atol=1e-5)
+
+    # pad CONTENT must not influence the shard_map update
+    batch_c = np.concatenate([ds.images[:12], ds.images[24:28]])
+    tr_c = SSPTrainer(det_cfg, logger=QUIET, dist_mode="shard_map")
+    loss_c = float(tr_c.train_step(batch_c, key, w=w)["loss"])
+    assert loss_c == pytest.approx(loss_s, abs=1e-6)
+    p_c = jax.device_get(tr_c.state.params.online["patch_embed"]["kernel"])
+    np.testing.assert_allclose(p_c, p_s, atol=1e-6)
+
+
+def test_shard_map_fit_trains_epoch_tail(det_cfg):
+    """fit() no longer drops the epoch tail in shard_map mode: a 40-sample
+    epoch at eff 16 trains all 40 (2 full steps + 1 masked tail step)."""
+    import json
+    import tempfile
+
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 40}, seed=9)
+    with tempfile.NamedTemporaryFile("r", suffix=".jsonl") as f:
+        with MetricLogger(f.name, echo=False) as logger:
+            tr = SSPTrainer(det_cfg, logger=logger, dist_mode="shard_map")
+            tr.fit(ds, epochs=1)
+        ev = [json.loads(l) for l in open(f.name)]
+    ep = [e for e in ev if e["event"] == "ssp_epoch"][0]
+    assert round(ep["images_per_sec"] * ep["seconds"]) == 40
+
+
 def test_shard_map_trains(det_cfg):
     cfg = dataclasses.replace(
         det_cfg,

@@ -283,14 +283,17 @@ def test_fit_trains_epoch_tail(tiny_ssp, tmp_path):
     assert round(ep["images_per_sec"] * ep["seconds"]) == 32  # tail dropped
 
 
-def test_shard_map_rejects_masked_tail(tiny_ssp):
+def test_shard_map_accepts_masked_tail(tiny_ssp):
+    """shard_map mode supports the weight-masked epoch tail (global-psum
+    normalization); GSPMD-vs-shard_map equality on an actual masked tail is
+    asserted in tests/test_shard_map.py."""
     tr = SSPTrainer(tiny_ssp, logger=QUIET, dist_mode="shard_map")
     ds = synthetic_dataset(image_size=28, split_sizes={"train": 32})
     assert tr.attach_dataset(ds.images)
     idx = np.arange(16)[None]
     keys = jax.random.split(jax.random.key(0), 1)
-    with pytest.raises(NotImplementedError):
-        tr.train_epoch(idx, keys, np.ones((1, 16), np.float32))
+    m = tr.train_epoch(idx, keys, np.ones((1, 16), np.float32))
+    assert np.isfinite(float(m["loss"][0]))
 
 
 def test_restore_best_weights_semantics(tiny_ft):

@@ -94,6 +94,11 @@ class SSPTrainer:
             from vit2spn_tpu.ops.attention import default_model_impl
 
             attn_impl = default_model_impl()
+        elif attn_impl == "xla":
+            # explicit XLA-attention request (None means "resolve default",
+            # so it can't express this): the path TP>1 runs on, selectable
+            # single-chip to measure the fused-kernel delta (bench --attn)
+            attn_impl = None
         # tensor parallelism: Megatron-style param sharding over the model
         # axis (parallel/tp.py). The fused whole-block Pallas kernel is
         # DP-only, so TP runs dispatch to the XLA attention path.
@@ -263,37 +268,81 @@ class SSPTrainer:
 
         if self.dist_mode == "shard_map":
             # explicit-collective formulation (parallel/shard_map_dp.py):
-            # per-shard grads -> pmean over ICI -> replicated update
+            # per-shard grad partial sums, normalized by the GLOBAL
+            # per-microbatch weight sum (one scalar psum), then psum over
+            # ICI -> replicated update. The global normalization makes the
+            # weight-masked epoch tail (ssp_vit2spn_tiny.py:215) exact even
+            # when shards hold different real-sample counts — identical
+            # semantics to the GSPMD path.
             from vit2spn_tpu.parallel.shard_map_dp import shard_map_dp_step
 
-            def local_grads(state, batch_u8, step_key):
+            data_axis = self._data_axis
+
+            def loss_sums(trainable, target, v1, v2, key, w):
+                """UNNORMALIZED local partials: -(sum of w*cos) plus the
+                weighted sums the caller combines into the global weighted
+                mean / pred_std after psum (see local_grads)."""
+                online, heads = trainable
+                params = DualStreamParams(
+                    online=online, heads=heads, target=target
+                )
+                pred, tgt = dual_stream_forward(
+                    params, v1, v2, cfg, policy, key=key, train=True,
+                    attn_impl=attn_impl, norm_fold=norm_fold,
+                )
+                pn = pred / jnp.maximum(
+                    jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-8
+                )
+                tn = tgt / jnp.maximum(
+                    jnp.linalg.norm(tgt, axis=-1, keepdims=True), 1e-8
+                )
+                num = -jnp.sum(jnp.sum(pn * tn, axis=-1) * w)
+                s1 = jnp.sum(w[:, None] * pn, axis=0)
+                s2 = jnp.sum(w[:, None] * pn * pn, axis=0)
+                return num, (s1, s2)
+
+            grad_sums = jax.value_and_grad(loss_sums, has_aux=True)
+
+            def local_grads(state, micro, step_key, wm):
+                # micro: (accum, B/n_shards, H, W) — this shard's slice of
+                # every microbatch (pre-split in `step` below, so microbatch
+                # composition matches the GSPMD path's global reshape)
                 a = cfg.accumulation_steps
-                micro = batch_u8.reshape((a, -1) + batch_u8.shape[1:])
                 keys = jax.random.split(step_key, a)
                 trainable = (state.params.online, state.params.heads)
                 zero = jax.tree.map(jnp.zeros_like, trainable)
 
                 def body(carry, inp):
                     g_acc, l_acc, s_acc = carry
-                    mb, k = inp
+                    mb, k, wv = inp
                     k_aug, k_drop = jax.random.split(k)
                     v1, v2 = dual_view_batch(
                         k_aug, mb, cfg.data.augment,
                         out_dtype=policy.compute_dtype, fold_normalize=True,
                     )
-                    # shard_map mode is uniform-weight only: the per-shard
-                    # masked mean + pmean would mis-normalize a tail group
-                    # whose weight sums differ across shards (fit() drops the
-                    # tail in this mode and logs it)
-                    (loss, pred_std), grads = grad_fn(
-                        trainable, state.params.target, v1, v2, k_drop,
-                        jnp.ones((mb.shape[0],), jnp.float32),
+                    (num, (s1, s2)), grads = grad_sums(
+                        trainable, state.params.target, v1, v2, k_drop, wv
                     )
-                    return (jax.tree.map(jnp.add, g_acc, grads), l_acc + loss,
-                            s_acc + pred_std), None
+                    # ONE scalar psum makes the microbatch denominator
+                    # global; grads stay local partials (outer psum adds
+                    # them), loss/pred_std become shard-identical here
+                    den = jnp.maximum(
+                        jax.lax.psum(jnp.sum(wv), data_axis), 1.0
+                    )
+                    g_acc = jax.tree.map(
+                        lambda acc, g: acc + g / den, g_acc, grads
+                    )
+                    loss = jax.lax.psum(num, data_axis) / den
+                    mean_w = jax.lax.psum(s1, data_axis) / den
+                    var = jnp.maximum(
+                        jax.lax.psum(s2, data_axis) / den - mean_w**2, 0.0
+                    )
+                    pred_std = jnp.mean(jnp.sqrt(var))
+                    return (g_acc, l_acc + loss, s_acc + pred_std), None
 
                 (grads, loss_sum, std_sum), _ = jax.lax.scan(
-                    body, (zero, jnp.zeros(()), jnp.zeros(())), (micro, keys)
+                    body, (zero, jnp.zeros(()), jnp.zeros(())),
+                    (micro, keys, wm),
                 )
                 return (
                     jax.tree.map(lambda g: g / a, grads),
@@ -301,12 +350,15 @@ class SSPTrainer:
                 )
 
             reduced = shard_map_dp_step(
-                local_grads, self.mesh, self._data_axis
+                local_grads, self.mesh, self._data_axis, grad_reduce="psum",
+                batch_dim=1,
             )
 
             def step(state, batch_u8, step_key, w):  # noqa: F811
-                del w  # uniform-weight only (see local_grads)
-                grads, metrics = reduced(state, batch_u8, step_key)
+                a = cfg.accumulation_steps
+                micro = batch_u8.reshape((a, -1) + batch_u8.shape[1:])
+                wm = w.reshape(a, -1)
+                grads, metrics = reduced(state, micro, step_key, wm)
                 trainable = (state.params.online, state.params.heads)
                 updates, opt_state = self.tx.update(grads, state.opt_state, trainable)
                 online, heads = optax.apply_updates(trainable, updates)
@@ -404,13 +456,8 @@ class SSPTrainer:
         """Run idx_mat.shape[0] optimizer steps in ONE jitted scan over the
         device-resident dataset. Returns the per-step losses (device array).
         `w_mat` (optional, same shape as idx_mat, 0/1) masks padded tail
-        samples; requires the gspmd dist_mode when non-uniform."""
+        samples (both dist modes normalize by the global weight sum)."""
         assert self._device_images is not None, "call attach_dataset first"
-        if w_mat is not None and self.dist_mode == "shard_map":
-            raise NotImplementedError(
-                "masked tail training requires dist_mode='gspmd' (the "
-                "shard_map formulation normalizes per shard)"
-            )
         sh2 = NamedSharding(self.mesh, PartitionSpec(None, self._data_axis))
         idx_dev = jax.device_put(jnp.asarray(idx_mat, jnp.int32), sh2)
         if w_mat is None:
@@ -440,13 +487,6 @@ class SSPTrainer:
         # extra step whose pad indices carry weight 0
         rem = n - spe * eff if steps_per_epoch is None else 0
         use_tail = cfg.train_tail and rem > 0
-        if use_tail and self.dist_mode == "shard_map":
-            use_tail = False
-            self.logger.log(
-                "info",
-                message=f"shard_map mode drops the {rem}-sample epoch tail "
-                "(masked tail requires gspmd)",
-            )
         n_trained = spe * eff + (rem if use_tail else 0)
 
         start_epoch = 0
