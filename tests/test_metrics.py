@@ -135,3 +135,29 @@ def test_absent_class_yields_nan_like_sklearn():
     # all-positive degenerate case: fpr side is NaN
     fpr2, _, _ = roc_curve(np.ones(10, int), np.linspace(0, 1, 10))
     assert np.isnan(fpr2).all()
+
+
+def test_classification_report_text_matches_sklearn():
+    """Byte-identical to sklearn's classification_report for the same
+    predictions — the reference PRINTS that text at test evaluation
+    (octmnist_ft_vit2spn.py:168) and downstream tooling may parse it."""
+    skm = pytest.importorskip("sklearn.metrics")
+    from vit2spn_tpu.evals.metrics import (
+        classification_report_text,
+        classification_summary,
+    )
+
+    rng = np.random.default_rng(7)
+    for k in (2, 4, 5):
+        n = int(rng.integers(30, 200))
+        labels = rng.integers(0, k, n)
+        probs = rng.random((n, k))
+        probs /= probs.sum(1, keepdims=True)
+        names = [f"class_{i}" for i in range(k)]
+        ours = classification_report_text(
+            classification_summary(labels, probs, names)
+        )
+        ref = skm.classification_report(
+            labels, probs.argmax(1), labels=list(range(k)), target_names=names
+        )
+        assert ours == ref

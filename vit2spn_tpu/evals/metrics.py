@@ -127,3 +127,55 @@ def classification_summary(
         "specificity": spec,
         "mean_confidence": float(probs.max(axis=1).mean()),
     }
+
+
+def classification_report_text(summary: dict, digits: int = 2) -> str:
+    """sklearn-format text classification report from a
+    `classification_summary` dict — the artifact the reference PRINTS at
+    test evaluation (octmnist_ft_vit2spn.py:168,
+    `print(classification_report(labels, preds, target_names=classes))`).
+    Byte-identical to sklearn's renderer for the same inputs
+    (tests/test_metrics.py::test_classification_report_text_matches_sklearn),
+    so downstream tooling that parses the reference's stdout keeps working.
+    """
+    per_class = summary["per_class"]
+    total_support = sum(v["support"] for v in per_class.values())
+    headers = ["precision", "recall", "f1-score", "support"]
+    width = max(
+        max(len(name) for name in per_class),
+        len("weighted avg"),
+        digits,
+    )
+    head_fmt = "{:>{width}} " + " {:>9}" * len(headers)
+    report = head_fmt.format("", *headers, width=width) + "\n\n"
+    row_fmt = "{:>{width}} " + " {:>9.{digits}f}" * 3 + " {:>9}\n"
+    for name, v in per_class.items():
+        report += row_fmt.format(
+            name, v["precision"], v["recall"], v["f1"], v["support"],
+            width=width, digits=digits,
+        )
+    report += "\n"
+    acc_fmt = ("{:>{width}} " + " {:>9.{digits}}" * 2
+               + " {:>9.{digits}f}" + " {:>9}\n")
+    report += acc_fmt.format(
+        "accuracy", "", "", summary["accuracy"], total_support,
+        width=width, digits=digits,
+    )
+    m = summary["macro"]
+    report += row_fmt.format(
+        "macro avg", m["precision"], m["recall"], m["f1"], total_support,
+        width=width, digits=digits,
+    )
+    if total_support:
+        wavg = {
+            k: sum(v[k] * v["support"] for v in per_class.values())
+            / total_support
+            for k in ("precision", "recall", "f1")
+        }
+    else:
+        wavg = {"precision": 0.0, "recall": 0.0, "f1": 0.0}
+    report += row_fmt.format(
+        "weighted avg", wavg["precision"], wavg["recall"], wavg["f1"],
+        total_support, width=width, digits=digits,
+    )
+    return report
