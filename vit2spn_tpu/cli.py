@@ -55,16 +55,27 @@ def _apply_overrides(cfg, overrides):
     for item in overrides or []:
         key, val = _parse_override(item)
         if key == "vit" and isinstance(val, str):
-            # model-zoo shorthand: -o vit=small swaps the whole backbone
-            # geometry (framework extension; the reference is Tiny-only).
-            # Dotted overrides after it still apply on top.
+            # model-zoo shorthand: -o vit=small swaps the backbone GEOMETRY
+            # (hidden/heads/mlp — framework extension; the reference is
+            # Tiny-only). Applied as a dataclasses.replace on the current
+            # cfg.vit so preset- or earlier-override-customized fields
+            # (remat, image_size, feature semantics, ...) survive; dotted
+            # overrides after it still apply on top.
+            import dataclasses as _dc
+
             from vit2spn_tpu.core.config import ViTConfig
 
             if val not in ("tiny", "small", "base"):
                 raise ValueError(
                     f"unknown vit variant {val!r} (tiny|small|base)"
                 )
-            val = ViTConfig() if val == "tiny" else getattr(ViTConfig, val)()
+            geom = ViTConfig() if val == "tiny" else getattr(ViTConfig, val)()
+            val = _dc.replace(
+                cfg.vit,
+                hidden_size=geom.hidden_size,
+                num_heads=geom.num_heads,
+                mlp_dim=geom.mlp_dim,
+            )
         cfg = replace(cfg, **{key: val})
     return cfg
 
@@ -180,8 +191,10 @@ def _run_experiment(cfg, args, out_dir, logger):
         logger.log("model_info", **dual_stream_report(cfg, trainer.state.params))
         from vit2spn_tpu.utils.profiling import device_memory_report
 
-        mem = device_memory_report()
-        if mem:  # backends without memory stats (CPU) report nothing
+        # best-effort with a watchdog budget: the flagship entry path must
+        # reach the trainer even if a degraded tunnel hangs the stats RPC
+        mem = device_memory_report(timeout_s=20.0)
+        if mem:  # backends without memory stats (CPU/axon) report nothing
             logger.log("device_memory", **mem)
         history = trainer.fit(
             train,
@@ -194,6 +207,7 @@ def _run_experiment(cfg, args, out_dir, logger):
         return 0
 
     assert isinstance(cfg, FineTuneConfig)
+    from vit2spn_tpu.evals.metrics import classification_report_text
     from vit2spn_tpu.evals.plots import confusion_matrix_plot, roc_all_folds
     from vit2spn_tpu.evals.protocol import run_cv_protocol, run_multitrial
 
@@ -205,16 +219,57 @@ def _run_experiment(cfg, args, out_dir, logger):
     else:
         res = run_cv_protocol(cfg, backbone_params=backbone, logger=logger,
                               epochs=args.epochs)
+        # artifact names match the reference's per-script savefig targets
+        # (octmnist_ft_vit2spn.py:166,226; ucsdoct_ft_vit2spn.py:248,331 —
+        # the octird script reuses "octmnist_*" names, a copy-paste slip we
+        # deviate from; MIGRATION.md artifact table)
         roc_all_folds(
             res.fold_rocs, res.fold_aucs,
             os.path.join(out_dir, f"{cfg.data.name}_roc_curve_all_folds.png"),
         )
+        class_names = list(res.test_summary["per_class"])
         confusion_matrix_plot(
             res.test_summary["confusion_matrix"],
-            [str(i) for i in range(len(res.test_summary["per_class"]))],
+            class_names,
             os.path.join(out_dir, f"{cfg.data.name}_confusion_matrix.png"),
         )
+        # the reference PRINTS sklearn's classification_report at test eval
+        # (octmnist_ft_vit2spn.py:168); keep the stdout parity and persist
+        # it as a text artifact too
+        report = classification_report_text(res.test_summary)
+        print(report)
+        with open(os.path.join(
+                out_dir, f"{cfg.data.name}_classification_report.txt"
+        ), "w") as f:
+            f.write(report)
+        _save_cv_result(res, cfg, out_dir)
     return 0
+
+
+def _save_cv_result(res, cfg, out_dir: str) -> str:
+    """Persist the protocol result so `vit2spn plot roc|cm` can re-render the
+    reference's figures without re-running hours of fine-tuning."""
+    payload = {
+        "dataset": cfg.data.name,
+        "class_names": list(res.test_summary["per_class"]),
+        "fold_aucs": [float(a) for a in res.fold_aucs],
+        "best_fold": res.best_fold,
+        "confusion_matrix": np.asarray(
+            res.test_summary["confusion_matrix"]
+        ).tolist(),
+        "fold_rocs": {
+            str(fold): {
+                "fpr": {str(c): np.asarray(v).tolist() for c, v in fpr.items()},
+                "tpr": {str(c): np.asarray(v).tolist() for c, v in tpr.items()},
+                "auc": {str(c): float(v) for c, v in aucs.items()},
+            }
+            for fold, (fpr, tpr, aucs) in res.fold_rocs.items()
+        },
+    }
+    path = os.path.join(out_dir, f"{cfg.data.name}_cv_result.json")
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    return path
 
 
 def cmd_presets(_args):
@@ -245,16 +300,78 @@ def cmd_data(args):
     raise SystemExit(f"unknown data command {args.data_cmd}")
 
 
-def cmd_plot(args):
-    from vit2spn_tpu.evals.plots import (
-        PT_SCRATCH_RESULTS,
-        SSP_SP_RESULTS,
-        radar_chart,
-    )
+def cmd_parity(args):
+    """Real-data parity runbook (evals/parity.py): one command that checks
+    input availability, runs the published chain (SSP 100-epoch → the three
+    fine-tune CV protocols → multitrial), and writes
+    parity_report.{json,md} comparing measured mAUC/accuracy to the
+    published table (README.md:10,46), with the pred_std collapse
+    diagnostic flagged. Resumable at every expensive stage."""
+    from vit2spn_tpu.evals.parity import run_parity
 
-    results = {"pt-scratch": PT_SCRATCH_RESULTS, "ssp-sp": SSP_SP_RESULTS}[args.kind]
-    path = radar_chart(results, args.out)
-    print(f"radar chart written to {path}")
+    report = run_parity(
+        data_root=args.data_root,
+        out_dir=args.out,
+        smoke=args.smoke,
+        epochs=args.epochs,
+        ft_epochs=args.ft_epochs,
+        tol=args.tol,
+        skip_multitrial=args.skip_multitrial,
+    )
+    print(json.dumps({"status": report["status"],
+                      "report": os.path.join(args.out, "parity_report.md")}))
+    if not report["datasets"]:
+        return 2  # nothing runnable: the report says what to provide
+    return 0 if (args.smoke or report["status"] == "PASS") else 1
+
+
+def cmd_plot(args):
+    if args.plot_cmd == "radar":
+        from vit2spn_tpu.evals.plots import (
+            PT_SCRATCH_RESULTS,
+            SSP_SP_RESULTS,
+            radar_chart,
+        )
+
+        results = {"pt-scratch": PT_SCRATCH_RESULTS,
+                   "ssp-sp": SSP_SP_RESULTS}[args.kind]
+        path = radar_chart(results, args.out)
+        print(f"radar chart written to {path}")
+        return 0
+
+    # roc / cm: standalone re-renders of the reference's per-script figures
+    # (octmnist_ft_vit2spn.py:217-227 ROC-all-folds; :161-167 confusion
+    # matrix) from a persisted <ds>_cv_result.json (written by `vit2spn run`)
+    if not args.result:
+        print("plot roc/cm needs --result <ds>_cv_result.json "
+              "(written by `vit2spn run ft-*`)", file=sys.stderr)
+        return 2
+    with open(args.result) as f:
+        payload = json.load(f)
+    if args.plot_cmd == "roc":
+        from vit2spn_tpu.evals.plots import roc_all_folds
+
+        fold_rocs = {
+            int(fold): (
+                {int(c): np.asarray(v) for c, v in d["fpr"].items()},
+                {int(c): np.asarray(v) for c, v in d["tpr"].items()},
+                {int(c): float(v) for c, v in d["auc"].items()},
+            )
+            for fold, d in payload["fold_rocs"].items()
+        }
+        path = roc_all_folds(fold_rocs, payload["fold_aucs"], args.out,
+                             class_index=args.class_index)
+        print(f"roc curve written to {path}")
+        return 0
+    assert args.plot_cmd == "cm"
+    from vit2spn_tpu.evals.plots import confusion_matrix_plot
+
+    path = confusion_matrix_plot(
+        np.asarray(payload["confusion_matrix"]),
+        payload["class_names"],
+        args.out,
+    )
+    print(f"confusion matrix written to {path}")
     return 0
 
 
@@ -464,9 +581,35 @@ def build_parser() -> argparse.ArgumentParser:
     ins.add_argument("path")
     ins.set_defaults(fn=cmd_inspect)
 
+    pa = sub.add_parser(
+        "parity",
+        help="real-data parity runbook: run the published chain and compare "
+        "to README.md:10's mAUC/accuracy table (resumable; see "
+        "evals/parity.py)",
+    )
+    pa.add_argument("--data-root", default="./datasets")
+    pa.add_argument("--out", default="./output/parity")
+    pa.add_argument("--smoke", action="store_true",
+                    help="synthetic end-to-end plumbing check (tiny model; "
+                    "numbers are NOT parity evidence)")
+    pa.add_argument("--epochs", type=int, default=None,
+                    help="override SSP epoch count (default: preset's 100)")
+    pa.add_argument("--ft-epochs", type=int, default=None,
+                    help="override fine-tune epoch count (default: preset's)")
+    pa.add_argument("--tol", type=float, default=0.02,
+                    help="mAUC tolerance for the within-tol verdict")
+    pa.add_argument("--skip-multitrial", action="store_true")
+    pa.set_defaults(fn=cmd_parity)
+
     pl = sub.add_parser("plot", help="reporting figures")
-    pl.add_argument("plot_cmd", choices=["radar"])
+    pl.add_argument("plot_cmd", choices=["radar", "roc", "cm"])
     pl.add_argument("--kind", choices=["pt-scratch", "ssp-sp"], default="pt-scratch")
+    pl.add_argument("--result", default=None,
+                    help="for roc/cm: a <ds>_cv_result.json from "
+                    "`vit2spn run ft-*`")
+    pl.add_argument("--class-index", type=int, default=0,
+                    help="for roc: class whose one-vs-rest curve is drawn "
+                    "per fold (reference plots class 0)")
     pl.add_argument("--out", default="./output/radar.pdf")
     pl.set_defaults(fn=cmd_plot)
     return p

@@ -1,0 +1,332 @@
+"""Real-data parity runbook (one command, zero decisions).
+
+The published chain (README.md:10,20,46) cannot be validated in this
+environment — no network egress, no datasets, no HF weights on disk. This
+module makes parity a SINGLE command for the day the data appears:
+
+    vit2spn parity --data-root ./datasets --out ./output/parity
+
+It (1) reports which inputs are real vs missing (octmnist.npz, octid/
+ucsdoct folders, the WinKawaks/vit-tiny-patch16-224 weights), (2) runs the
+published chain — SSP 100-epoch pretrain (ssp_vit2spn_tiny.py) → the three
+fine-tune CV protocols (octmnist/octird/ucsdoct_ft_vit2spn.py) → the
+multitrial estimator (multitrial/octmnist_ft_vit2spn.py) — resuming any
+stage that was interrupted, and (3) writes `parity_report.{json,md}`
+comparing measured mAUC/accuracy against the published table
+(README.md:10: 0.884/0.71, 0.941/0.84, 0.959/0.86) with the `pred_std`
+collapse diagnostic flagged (the shared-projection-head BYOL variant
+partially collapses on low-diversity data — VALIDATION.md).
+
+`smoke=True` runs the identical plumbing end-to-end on synthetic data with
+a tiny model (tests/test_parity_runbook.py) so the runbook itself is
+validated today.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+# Published results: README.md:10 (mAUC / top-1 accuracy per dataset) and
+# README.md:46 (specificity across 5 retraining runs). These constants ARE
+# the parity target — they must match the reference's README verbatim.
+PUBLISHED = {
+    "octmnist": {"mauc": 0.884, "accuracy": 0.71},
+    "octid": {"mauc": 0.941, "accuracy": 0.84},
+    "ucsdoct": {"mauc": 0.959, "accuracy": 0.86},
+}
+PUBLISHED_MULTITRIAL_SPECIFICITY = 0.8965  # README.md:46 (mean > this, SD .0051)
+
+# Below this, the SSP run's prediction spread says the backbone collapsed
+# toward constant features and downstream mAUC is not meaningful parity
+# evidence (heuristic; healthy real-data runs sit well above — the
+# synthetic-collapse observations in VALIDATION.md sat near zero).
+PRED_STD_COLLAPSE_THRESHOLD = 0.05
+
+_FT_PRESETS = {
+    "octmnist": "ft-octmnist",
+    "octid": "ft-octid",
+    "ucsdoct": "ft-ucsdoct",
+}
+
+
+def check_inputs(data_root: str) -> dict:
+    """Which parity inputs are REAL (vs the synthetic fallbacks the loaders
+    would otherwise substitute)? Never raises; pure availability probe."""
+    from vit2spn_tpu.data.datasets import load_dataset
+
+    out = {}
+    for name in ("octmnist", "octid", "ucsdoct"):
+        try:
+            load_dataset(name, root=data_root, allow_synthetic=False)
+            out[name] = True
+        except Exception:  # noqa: BLE001 — missing/corrupt == unavailable
+            out[name] = False
+    # pretrained ViT-Tiny (ssp_vit2spn_tiny.py:112): local weights via
+    # $VIT2SPN_VIT_TINY_PATH or the HF cache — probe without loading
+    try:
+        from vit2spn_tpu.models.hf_convert import load_pretrained_vit_tiny
+        from vit2spn_tpu.core.config import ViTConfig
+
+        load_pretrained_vit_tiny(ViTConfig())
+        out["vit_tiny_weights"] = True
+    except Exception:  # noqa: BLE001
+        out["vit_tiny_weights"] = False
+    return out
+
+
+def _smoke_overrides(cfg):
+    """Tiny geometry for the synthetic end-to-end smoke of the runbook
+    plumbing (NOT a parity measurement)."""
+    from vit2spn_tpu.core.config import AugmentConfig, ViTConfig
+
+    vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                    num_layers=2, num_heads=2, mlp_dim=64)
+    data = dataclasses.replace(
+        cfg.data, augment=AugmentConfig(out_size=32)
+    )
+    # synthetic stand-ins everywhere: the smoke validates the runbook's
+    # plumbing (stage chaining, export ingest, report shape), not the
+    # dataset loaders (tests/test_data.py covers those)
+    data = dataclasses.replace(data, name="synthetic")
+    kw = dict(vit=vit, data=data, batch_size=8, compute_dtype="float32")
+    if hasattr(cfg, "accumulation_steps"):
+        kw["accumulation_steps"] = 2
+    if hasattr(cfg, "k_folds"):
+        kw["k_folds"] = 2
+    if getattr(cfg, "num_trials", 1) > 1:
+        kw["num_trials"] = 2
+    if cfg.data.subset_size is not None:
+        kw["data"] = dataclasses.replace(
+            kw["data"], subset_size=min(cfg.data.subset_size, 48)
+        )
+    if cfg.data.subset_fraction is not None:
+        kw["data"] = dataclasses.replace(
+            kw["data"], subset_fraction=0.05, test_subset_size=24
+        )
+    return dataclasses.replace(cfg, **kw)
+
+
+def run_parity(
+    data_root: str = "./datasets",
+    out_dir: str = "./output/parity",
+    logger=None,
+    smoke: bool = False,
+    epochs: Optional[int] = None,
+    ft_epochs: Optional[int] = None,
+    tol: float = 0.02,
+    skip_multitrial: bool = False,
+) -> dict:
+    """Execute the published chain end-to-end and write the comparison
+    artifact. Returns the report dict (also written as JSON + markdown).
+
+    Every stage resumes: the SSP stage from its periodic checkpoint, the
+    multitrial stage from its trial-state file; fine-tune protocols are
+    cheap relative to SSP and re-run.
+    """
+    from vit2spn_tpu.core.presets import get_preset
+    from vit2spn_tpu.data.datasets import load_dataset
+    from vit2spn_tpu.evals.protocol import run_cv_protocol, run_multitrial
+    from vit2spn_tpu.train.ssp import SSPTrainer
+    from vit2spn_tpu.utils.logging import MetricLogger
+
+    os.makedirs(out_dir, exist_ok=True)
+    logger = logger or MetricLogger(
+        os.path.join(out_dir, "parity_metrics.jsonl"), echo=True
+    )
+
+    inputs = check_inputs(data_root)
+    logger.log("parity_inputs", **inputs)
+    report: dict = {"inputs": inputs, "smoke": smoke, "datasets": {}}
+
+    runnable = [k for k in _FT_PRESETS if inputs[k]]
+    if smoke:
+        runnable = list(_FT_PRESETS)  # synthetic stand-ins validate plumbing
+    if not runnable:
+        report["status"] = (
+            "no real datasets found; place octmnist.npz / octid / ucsdoct "
+            f"under {data_root} (and ViT-Tiny weights via "
+            "$VIT2SPN_VIT_TINY_PATH) then re-run"
+        )
+        _write_report(report, out_dir)
+        return report
+
+    # ---- stage 1: SSP pretrain (ssp_vit2spn_tiny.py, 100 epochs) ----------
+    ssp_cfg = get_preset("ssp")
+    ssp_cfg = dataclasses.replace(
+        ssp_cfg, data=dataclasses.replace(ssp_cfg.data, root=data_root)
+    )
+    if smoke:
+        ssp_cfg = dataclasses.replace(
+            _smoke_overrides(ssp_cfg), pretrained_init=False
+        )
+    trainer = SSPTrainer(ssp_cfg, logger=logger)
+    ds = load_dataset(ssp_cfg.data.name, root=ssp_cfg.data.root)
+    train = ds.split("train") if "train" in ds.splits else ds
+    ssp_epochs = epochs if epochs is not None else (2 if smoke else None)
+    history = trainer.fit(
+        train,
+        epochs=ssp_epochs,
+        checkpoint_path=os.path.join(out_dir, "ssp_checkpoint.npz"),
+    )
+    export = trainer.export_backbone(
+        os.path.join(out_dir, "ssp_backbone_export.npz")
+    )
+
+    # collapse diagnostic (loss -> -1 with pred_std -> 0 means constant
+    # features; downstream mAUC would not be parity evidence): recompute
+    # from a probe batch of the final weights
+    feats, _ = trainer.extract_features(
+        train.subset(np.arange(min(256, len(train)))), batch_size=128
+    )
+    fn = feats / np.maximum(
+        np.linalg.norm(feats, axis=-1, keepdims=True), 1e-8
+    )
+    pred_std = float(np.mean(np.std(fn, axis=0)))
+    collapsed = pred_std < PRED_STD_COLLAPSE_THRESHOLD
+    report["ssp"] = {
+        "epochs_run": len(history),
+        "final_loss": float(history[-1]) if history else None,
+        "pred_std": pred_std,
+        "collapse_flag": bool(collapsed),
+        "export": export,
+    }
+    logger.log("parity_ssp_done", **{k: v for k, v in report["ssp"].items()
+                                     if k != "export"})
+
+    # ---- stage 2: the three fine-tune CV protocols -------------------------
+    for name in runnable:
+        cfg = get_preset(_FT_PRESETS[name])
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(cfg.data, root=data_root),
+            init="ssp",
+            init_path=export,
+        )
+        if smoke:
+            cfg = _smoke_overrides(cfg)
+        backbone = _load_export(export, cfg)
+        res = run_cv_protocol(
+            cfg, backbone_params=backbone, logger=logger,
+            epochs=ft_epochs if ft_epochs is not None else (1 if smoke else None),
+        )
+        pub = PUBLISHED[name]
+        entry = {
+            "measured_mauc": res.mean_auc,
+            "measured_mauc_std": res.std_auc,
+            "measured_accuracy": res.test_summary["accuracy"],
+            "published_mauc": pub["mauc"],
+            "published_accuracy": pub["accuracy"],
+            "delta_mauc": res.mean_auc - pub["mauc"],
+            "delta_accuracy": res.test_summary["accuracy"] - pub["accuracy"],
+            "within_tol": bool(
+                abs(res.mean_auc - pub["mauc"]) <= tol or res.mean_auc > pub["mauc"]
+            ),
+        }
+        report["datasets"][name] = entry
+        logger.log("parity_ft", dataset=name, **entry)
+
+    # ---- stage 3: multitrial estimator (README.md:46) ----------------------
+    if not skip_multitrial and ("octmnist" in runnable):
+        cfg = get_preset("multitrial/ft-octmnist")
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(cfg.data, root=data_root),
+            init="ssp",
+            init_path=export,
+        )
+        if smoke:
+            cfg = _smoke_overrides(cfg)
+        backbone = _load_export(export, cfg)
+        mt = run_multitrial(
+            cfg, backbone_params=backbone, logger=logger,
+            epochs=ft_epochs if ft_epochs is not None else (1 if smoke else None),
+            resume_path=os.path.join(out_dir, "multitrial_state.json"),
+        )
+        agg = mt.get("across_trials", mt["aggregate"])
+        spec = agg["specificity"]["mean"]
+        report["multitrial"] = {
+            "specificity_mean": spec,
+            "specificity_std": agg["specificity"]["std"],
+            "published_specificity_floor": PUBLISHED_MULTITRIAL_SPECIFICITY,
+            "meets_floor": bool(spec > PUBLISHED_MULTITRIAL_SPECIFICITY),
+        }
+        logger.log("parity_multitrial", **report["multitrial"])
+
+    all_within = all(
+        e["within_tol"] for e in report["datasets"].values()
+    ) and not report["ssp"]["collapse_flag"]
+    report["status"] = (
+        "SMOKE ONLY — synthetic stand-ins, numbers are not parity evidence"
+        if smoke
+        else ("PASS" if all_within else "FAIL")
+    )
+    _write_report(report, out_dir)
+    logger.log("parity_done", status=report["status"])
+    return report
+
+
+def _load_export(export_path: str, cfg):
+    """STRICT load of the runbook's own SSP export for the fine-tunes (the
+    reference's strict load_state_dict ingest, octmnist_ft_vit2spn.py:190)."""
+    import jax
+
+    from vit2spn_tpu.models.vit import init_vit
+    from vit2spn_tpu.train import checkpoint as ckpt
+
+    template = init_vit(jax.random.key(0), cfg.vit)
+    return ckpt.restore(export_path, template, strict=True)
+
+
+def _write_report(report: dict, out_dir: str) -> None:
+    with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    lines = [
+        "# Parity report — measured vs published (README.md:10,46)",
+        "",
+        f"Status: **{report.get('status', 'incomplete')}**",
+        "",
+        "Inputs: " + ", ".join(
+            f"{k}={'REAL' if v else 'missing'}"
+            for k, v in report["inputs"].items()
+        ),
+        "",
+    ]
+    if "ssp" in report:
+        s = report["ssp"]
+        lines += [
+            f"SSP: {s['epochs_run']} epochs, final loss "
+            f"{s['final_loss']:.4f}, pred_std {s['pred_std']:.4f}"
+            + (" **COLLAPSE FLAG** (features near-constant; downstream "
+               "numbers not parity evidence)" if s["collapse_flag"] else ""),
+            "",
+        ]
+    if report["datasets"]:
+        lines += [
+            "| dataset | published mAUC | measured mAUC | Δ | published acc"
+            " | measured acc | Δ | within tol |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for name, e in report["datasets"].items():
+            lines.append(
+                f"| {name} | {e['published_mauc']:.3f} | "
+                f"{e['measured_mauc']:.3f} ± {e['measured_mauc_std']:.3f} | "
+                f"{e['delta_mauc']:+.3f} | {e['published_accuracy']:.2f} | "
+                f"{e['measured_accuracy']:.3f} | {e['delta_accuracy']:+.3f} |"
+                f" {'yes' if e['within_tol'] else 'NO'} |"
+            )
+        lines.append("")
+    if "multitrial" in report:
+        m = report["multitrial"]
+        lines.append(
+            f"Multitrial specificity: {m['specificity_mean']:.4f} ± "
+            f"{m['specificity_std']:.4f} vs published floor "
+            f"{m['published_specificity_floor']} — "
+            + ("meets" if m["meets_floor"] else "BELOW")
+        )
+    with open(os.path.join(out_dir, "parity_report.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
