@@ -65,6 +65,14 @@ def main(argv=None) -> None:
         "generic fused kernels with geometry-scaled tile/VMEM defaults) — "
         "the metric gains a _vit<name> suffix and an MFU detail.",
     )
+    ap.add_argument(
+        "--attn", choices=["default", "fused", "xla"], default="default",
+        help="attention/backbone implementation: default resolves to the "
+        "fused whole-backbone Pallas kernel on TPU; xla forces the plain "
+        "XLA path — the one tensor-parallel (model_parallel>1) runs "
+        "dispatch to — so the TP fallback's single-chip price is one flag "
+        "away (metric gains an _attnxla suffix).",
+    )
     ap.add_argument("--band-limit", type=int, default=None,
                     help="override augment band_limit (hires tuning)")
     ap.add_argument("--source-shape", default=None, metavar="HxW",
@@ -97,7 +105,10 @@ def main(argv=None) -> None:
     if args.band_limit is not None:
         cfg = replace(cfg, **{"data.augment.band_limit": args.band_limit})
     n_chips = jax.device_count()
-    trainer = SSPTrainer(cfg, logger=MetricLogger(echo=False))
+    trainer = SSPTrainer(
+        cfg, logger=MetricLogger(echo=False),
+        attn_impl=None if args.attn == "default" else args.attn,
+    )
     if args.cold:
         if args.mode != "hires":
             ap.error("--cold only applies to --mode hires")
@@ -143,6 +154,8 @@ def main(argv=None) -> None:
     img_per_sec = n_steps * eff / dt
     img_per_sec_chip = img_per_sec / n_chips
     suffix = "" if args.mode == "octmnist" else "_hires"
+    if args.attn != "default":
+        suffix += f"_attn{args.attn}"
     record = {
         "metric": f"ssp_images_per_sec_per_chip{suffix}",
         "value": round(img_per_sec_chip, 2),

@@ -20,7 +20,8 @@ import os
 # compiles long enough to be persisted, so they are the fallback when the
 # private log-point wrap is unavailable.
 _STATS = {"event_hits": 0, "event_misses": 0,
-          "hit_modules": [], "miss_modules": []}
+          "hit_modules": [], "miss_modules": [],
+          "wrap_failed": False}
 _INSTALLED = False
 
 
@@ -63,7 +64,10 @@ def _install_observers() -> None:
         _compiler.log_persistent_cache_hit = _hit
         _compiler.log_persistent_cache_miss = _miss
     except Exception:  # pragma: no cover - names are best-effort
-        pass
+        # remember the degradation so report_cache can say counts come from
+        # the event counters (which only see persist-threshold compiles) —
+        # a silently weaker counter source must be visible (ADVICE r3)
+        _STATS["wrap_failed"] = True
     _INSTALLED = True
 
 
@@ -87,6 +91,12 @@ def report_cache(echo=print) -> dict:
     """One-line end-of-run cache summary (+ a loud note on misses so a
     silently-bypassed cache is visible without a stopwatch)."""
     s = cache_stats()
+    if _STATS["wrap_failed"]:
+        echo(
+            "[compilation-cache] note: per-module log points unavailable in "
+            "this jax version — counts fall back to event counters, which "
+            "only see compiles long enough to be persisted"
+        )
     if s["hits"] or s["misses"]:
         echo(
             f"[compilation-cache] {s['hits']} hit(s), {s['misses']} miss(es)"

@@ -286,6 +286,8 @@ class FineTuneTrainer:
             model_axis=cfg.mesh.model_axis,
         )
         self.logger = logger or MetricLogger(echo=True)
+        if attn_impl == "xla":  # explicit XLA path (see SSPTrainer)
+            attn_impl = None
         if attn_impl is None:
             from vit2spn_tpu.ops.attention import default_model_impl
 

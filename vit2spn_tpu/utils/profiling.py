@@ -25,30 +25,61 @@ import os
 from typing import Callable, Optional
 
 
-def device_memory_report() -> dict:
+def device_memory_report(timeout_s: Optional[float] = None) -> dict:
     """Per-device memory usage — the TPU-native equivalent of the
     reference's `log_gpu_memory` (ssp_vit2spn_tiny.py:178-181,
     torch.cuda.memory_allocated/reserved; defined there but never called —
     here it IS called at `run ssp` startup). Returns {} on backends that
-    expose no stats (CPU)."""
+    expose no stats (CPU; the axon TPU runtime also reports none).
+
+    `timeout_s` makes the call best-effort: the stats RPCs run in a daemon
+    watchdog thread and a hang returns {"error": ...} after the budget
+    instead of blocking the flagship entry path (a tunnel outage has been
+    observed to HANG device calls, not fail them)."""
     import jax
 
-    out = {}
-    for dev in jax.local_devices():
+    def collect() -> dict:
+        out = {}
+        for dev in jax.local_devices():
+            try:
+                stats = dev.memory_stats()
+            except Exception:  # noqa: BLE001 — backend without stats
+                stats = None
+            if not stats:
+                continue
+            out[str(dev.id)] = {
+                "bytes_in_use_mb": round(
+                    stats.get("bytes_in_use", 0) / 2**20, 1
+                ),
+                "peak_bytes_mb": round(
+                    stats.get("peak_bytes_in_use", 0) / 2**20, 1
+                ),
+                "bytes_limit_mb": round(stats.get("bytes_limit", 0) / 2**20, 1),
+            }
+        return out
+
+    if timeout_s is None:
+        return collect()
+
+    import threading
+
+    result: dict = {}
+    done = threading.Event()
+
+    def run():
         try:
-            stats = dev.memory_stats()
-        except Exception:  # noqa: BLE001 — backend without stats
-            stats = None
-        if not stats:
-            continue
-        out[str(dev.id)] = {
-            "bytes_in_use_mb": round(stats.get("bytes_in_use", 0) / 2**20, 1),
-            "peak_bytes_mb": round(
-                stats.get("peak_bytes_in_use", 0) / 2**20, 1
-            ),
-            "bytes_limit_mb": round(stats.get("bytes_limit", 0) / 2**20, 1),
-        }
-    return out
+            result.update(collect())
+        except Exception as e:  # noqa: BLE001 — best-effort under watchdog
+            result["error"] = f"{type(e).__name__}: {e}"
+        finally:
+            done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        # abandon the hung daemon thread; the process must not block
+        return {"error": f"memory stats timed out after {timeout_s:g}s"}
+    return result
 
 
 @contextlib.contextmanager
