@@ -448,4 +448,7 @@ class FineTuneTrainer:
         if cfg.restore_best_weights and stopper.best_state is not None:
             # framework improvement over the reference's no-op (:126)
             self.state = jax.device_put(stopper.best_state, self._state_sharding)
+            self.logger.log(
+                f"{tag}_best_restore", best_val_loss=float(stopper.best)
+            )
         return stopper.best
