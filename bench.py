@@ -201,6 +201,36 @@ def _step_gflops_per_img(vit) -> float:
     return 8 * (vit.num_layers * per_layer + patch) / 1e9
 
 
+def _requested_metric(argv) -> str:
+    """Mirror main()'s metric naming for the error line, from an argv scan
+    only — it must work when the backend (and thus main()) can't even
+    initialize. Keeps a failed `--mode hires` / `--vit base` run from
+    reporting an error under the DEFAULT metric's name."""
+    def val(flag, default):
+        for i, a in enumerate(argv):
+            if a == flag and i + 1 < len(argv):
+                return argv[i + 1]
+            if a.startswith(flag + "="):
+                return a.split("=", 1)[1]
+        return default
+
+    mode = val("--mode", "octmnist")
+    if mode == "inference":
+        return "ssp_inference_images_per_sec_per_chip"
+    if mode == "hires" and "--cold" in argv:
+        return "ssp_cold_epoch_images_per_sec_per_chip_hires"
+    name = "ssp_images_per_sec_per_chip"
+    if mode == "hires":
+        name += "_hires"
+    attn = val("--attn", "default")
+    if attn != "default":
+        name += f"_attn{attn}"
+    vit = val("--vit", "tiny")
+    if vit != "tiny":
+        name += f"_vit{vit}"
+    return name
+
+
 def _probe_backend(retries: int = None, timeout_s: float = None,
                    wait_s: float = None):
     """Bounded backend-init probe in a SUBPROCESS: a broken tunnel can HANG
@@ -414,7 +444,7 @@ if __name__ == "__main__":
             traceback.print_exc()  # full detail to stderr only
             err = f"{type(e).__name__}: {e}"
     print(json.dumps({
-        "metric": "ssp_images_per_sec_per_chip",
+        "metric": _requested_metric(sys.argv[1:]),
         "value": None,
         "unit": "images/s/chip",
         "vs_baseline": None,

@@ -50,3 +50,26 @@ def test_bench_outage_degrades_to_one_json_error_line():
     assert rec["value"] is None
     assert rec["vs_baseline"] is None
     assert rec["error"]
+
+
+def test_error_line_metric_mirrors_requested_variant():
+    """A failed non-default run must report the error under the metric name
+    it was asked to measure, not the default's (argv-scan mirror of main()'s
+    suffix logic — no backend needed)."""
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+    m = bench._requested_metric
+    assert m([]) == "ssp_images_per_sec_per_chip"
+    assert m(["--mode", "hires"]) == "ssp_images_per_sec_per_chip_hires"
+    assert m(["--mode=hires", "--cold"]) == (
+        "ssp_cold_epoch_images_per_sec_per_chip_hires"
+    )
+    assert m(["--mode", "inference"]) == "ssp_inference_images_per_sec_per_chip"
+    assert m(["--attn", "xla"]) == "ssp_images_per_sec_per_chip_attnxla"
+    assert m(["--vit=base"]) == "ssp_images_per_sec_per_chip_vitbase"
+    assert m(["--mode", "hires", "--attn=xla"]) == (
+        "ssp_images_per_sec_per_chip_hires_attnxla"
+    )
