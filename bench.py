@@ -47,7 +47,11 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
 
-    ap = argparse.ArgumentParser()
+    # allow_abbrev=False: _requested_metric() mirrors this parser with an
+    # exact-string argv scan for the outage error line; abbreviated flags
+    # (`--mod hires`) would parse here but be invisible to that scan,
+    # mislabeling a failed run under the default metric name.
+    ap = argparse.ArgumentParser(allow_abbrev=False)
     ap.add_argument(
         "--mode", choices=["octmnist", "hires", "inference"],
         default="octmnist",
@@ -207,12 +211,16 @@ def _requested_metric(argv) -> str:
     initialize. Keeps a failed `--mode hires` / `--vit base` run from
     reporting an error under the DEFAULT metric's name."""
     def val(flag, default):
+        # last occurrence wins, matching argparse's overwrite semantics
+        # (main() rejects abbreviations via allow_abbrev=False, so the
+        # exact-string scan here is a faithful mirror)
+        out = default
         for i, a in enumerate(argv):
             if a == flag and i + 1 < len(argv):
-                return argv[i + 1]
-            if a.startswith(flag + "="):
-                return a.split("=", 1)[1]
-        return default
+                out = argv[i + 1]
+            elif a.startswith(flag + "="):
+                out = a.split("=", 1)[1]
+        return out
 
     mode = val("--mode", "octmnist")
     if mode == "inference":

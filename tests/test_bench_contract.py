@@ -73,3 +73,27 @@ def test_error_line_metric_mirrors_requested_variant():
     assert m(["--mode", "hires", "--attn=xla"]) == (
         "ssp_images_per_sec_per_chip_hires_attnxla"
     )
+    # repeated flags: last occurrence wins, like argparse
+    assert m(["--mode", "hires", "--mode", "octmnist"]) == (
+        "ssp_images_per_sec_per_chip"
+    )
+    assert m(["--mode=octmnist", "--mode", "hires"]) == (
+        "ssp_images_per_sec_per_chip_hires"
+    )
+
+
+def test_abbreviated_flags_rejected(capsys):
+    """main()'s parser must reject abbreviations (allow_abbrev=False) so the
+    exact-string argv scan in _requested_metric stays a faithful mirror —
+    `--mod hires` parsing as --mode would mislabel a failed run."""
+    import pytest
+
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+    with pytest.raises(SystemExit) as e:
+        bench.main(["--mod", "hires"])
+    assert e.value.code == 2  # argparse usage error, no backend work done
+    assert "--mod" in capsys.readouterr().err

@@ -356,3 +356,56 @@ def test_cli_run_ft_artifacts_and_standalone_plots(tmp_path):
     assert rc == 0 and cm_png.exists()
     # roc/cm without --result is a usage error, not a crash
     assert main(["plot", "roc", "--out", str(tmp_path / "x.png")]) == 2
+
+
+def test_cv_result_json_size_bounded(tmp_path):
+    """Real-data runs emit one ROC threshold per distinct score — thousands
+    of points × 10 folds × classes reached tens of MB. _save_cv_result
+    decimates each curve to ≤512 endpoint-preserving points; the re-rendered
+    figure (the actual contract, octmnist_ft_vit2spn.py:217-227) is visually
+    exact at its 1000-px render width."""
+    import json
+
+    import numpy as np
+
+    from vit2spn_tpu.cli import _ROC_MAX_POINTS, _decimate_curve, _save_cv_result
+
+    # decimation: short curves bit-exact, long curves bounded + ends kept
+    short = np.linspace(0, 1, 40)
+    assert _decimate_curve(short) == short.tolist()
+    long = np.sort(np.random.RandomState(0).rand(20_000))
+    dec = _decimate_curve(long)
+    assert len(dec) <= _ROC_MAX_POINTS
+    assert dec[0] == long[0] and dec[-1] == long[-1]
+    assert dec == sorted(dec)  # monotone stays monotone
+
+    # whole-file bound at real-data scale: 10 folds × 4 classes × 20k points
+    class _Res:
+        pass
+
+    res = _Res()
+    res.fold_aucs = [0.9] * 10
+    res.best_fold = 0
+    res.test_summary = {
+        "per_class": {f"c{i}": {} for i in range(4)},
+        "confusion_matrix": np.eye(4, dtype=int),
+    }
+    n = 20_000
+    curve = np.linspace(0.0, 1.0, n)
+    res.fold_rocs = {
+        f: ({c: curve for c in range(4)}, {c: curve for c in range(4)},
+            {c: 0.9 for c in range(4)})
+        for f in range(10)
+    }
+
+    class _Cfg:
+        class data:
+            name = "sized"
+
+    path = _save_cv_result(res, _Cfg, str(tmp_path))
+    size = (tmp_path / "sized_cv_result.json").stat().st_size
+    assert size < 2_000_000, f"cv_result.json ballooned to {size} bytes"
+    with open(path) as f:
+        payload = json.load(f)
+    pts = payload["fold_rocs"]["0"]["fpr"]["0"]
+    assert len(pts) <= _ROC_MAX_POINTS and pts[0] == 0.0 and pts[-1] == 1.0

@@ -246,6 +246,24 @@ def _run_experiment(cfg, args, out_dir, logger):
     return 0
 
 
+# Max stored points per ROC curve in <ds>_cv_result.json. Real-data runs
+# produce one threshold per distinct score (thousands × 10 folds × classes →
+# tens of MB); the figures are the contract (octmnist_ft_vit2spn.py:217-227),
+# and at the rendered size (10×8 in @ 100 dpi = 1000 px wide) curves above
+# this density are visually exact after endpoint-preserving decimation.
+_ROC_MAX_POINTS = 512
+
+
+def _decimate_curve(arr) -> list:
+    a = np.asarray(arr, dtype=np.float64)
+    if a.size <= _ROC_MAX_POINTS:
+        return a.tolist()
+    idx = np.unique(np.round(
+        np.linspace(0, a.size - 1, _ROC_MAX_POINTS)
+    ).astype(int))
+    return a[idx].tolist()
+
+
 def _save_cv_result(res, cfg, out_dir: str) -> str:
     """Persist the protocol result so `vit2spn plot roc|cm` can re-render the
     reference's figures without re-running hours of fine-tuning."""
@@ -257,10 +275,12 @@ def _save_cv_result(res, cfg, out_dir: str) -> str:
         "confusion_matrix": np.asarray(
             res.test_summary["confusion_matrix"]
         ).tolist(),
+        # fpr/tpr of one curve share a length, so _decimate_curve's
+        # size-determined index set keeps the (fpr[i], tpr[i]) pairs aligned
         "fold_rocs": {
             str(fold): {
-                "fpr": {str(c): np.asarray(v).tolist() for c, v in fpr.items()},
-                "tpr": {str(c): np.asarray(v).tolist() for c, v in tpr.items()},
+                "fpr": {str(c): _decimate_curve(v) for c, v in fpr.items()},
+                "tpr": {str(c): _decimate_curve(v) for c, v in tpr.items()},
                 "auc": {str(c): float(v) for c, v in aucs.items()},
             }
             for fold, (fpr, tpr, aucs) in res.fold_rocs.items()
