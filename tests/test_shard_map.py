@@ -111,3 +111,16 @@ def test_shard_map_trains(det_cfg):
     hist = tr.fit(ds, epochs=3)
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0]
+
+
+def test_shard_map_refuses_tp_with_documented_error(det_cfg):
+    """The DP-only asymmetry of shard_map mode is PERMANENT (PARITY.md
+    deviation 11): TP is served by the GSPMD path, and requesting both must
+    fail loudly with the pointer, not NotImplementedError."""
+    from vit2spn_tpu.core.config import MeshConfig
+
+    cfg = dataclasses.replace(
+        det_cfg, mesh=MeshConfig(model_parallel=2)
+    )
+    with pytest.raises(ValueError, match="PARITY.md"):
+        SSPTrainer(cfg, logger=QUIET, dist_mode="shard_map")

@@ -337,12 +337,15 @@ def cmd_parity(args):
         ft_epochs=args.ft_epochs,
         tol=args.tol,
         skip_multitrial=args.skip_multitrial,
+        shrink_geometry=args.shrink_geometry,
     )
     print(json.dumps({"status": report["status"],
                       "report": os.path.join(args.out, "parity_report.md")}))
     if not report["datasets"]:
         return 2  # nothing runnable: the report says what to provide
-    return 0 if (args.smoke or report["status"] == "PASS") else 1
+    # a shrunk-geometry rehearsal PASS carries a "(shrunk geometry ...)"
+    # suffix; INPUTS-INCOMPLETE / FAIL: ... exit 1
+    return 0 if (args.smoke or report["status"].startswith("PASS")) else 1
 
 
 def cmd_plot(args):
@@ -617,8 +620,12 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--ft-epochs", type=int, default=None,
                     help="override fine-tune epoch count (default: preset's)")
     pa.add_argument("--tol", type=float, default=0.02,
-                    help="mAUC tolerance for the within-tol verdict")
+                    help="mAUC/accuracy tolerance for the within-tol verdict")
     pa.add_argument("--skip-multitrial", action="store_true")
+    pa.add_argument("--shrink-geometry", action="store_true",
+                    help="tiny model geometry on the REAL loaders + full "
+                    "gating (plumbing rehearsal; a PASS is labelled as NOT "
+                    "parity evidence)")
     pa.set_defaults(fn=cmd_parity)
 
     pl = sub.add_parser("plot", help="reporting figures")

@@ -17,9 +17,29 @@ comparing measured mAUC/accuracy against the published table
 collapse diagnostic flagged (the shared-projection-head BYOL variant
 partially collapses on low-diversity data — VALIDATION.md).
 
+Provenance gating: a PASS/FAIL verdict is only ever emitted when EVERY
+input the published chain consumed was real — octmnist.npz (stage 1
+pretrains on it, ssp_vit2spn_tiny.py:101-107), both fine-tune folder
+datasets, and the ImageNet ViT-Tiny init (ssp_vit2spn_tiny.py:112). Any
+missing input yields `INPUTS-INCOMPLETE: missing <names>` instead; stages
+with real data still run and are recorded (with `init_deviation: random`
+when the pretrained init was unavailable), but they are never judged
+against the published table. Stage 1 loads with allow_synthetic=False — a
+synthetic backbone can never feed the fine-tune stages. The gate checks
+what ACTUALLY happened, not just the upfront probe: SSPTrainer's
+`init_provenance` must come back "pretrained" (its HF ingest falls back to
+random silently, train/ssp.py), else the weights input is marked missing.
+
+Verdict = the FULL published metric set: per-dataset mAUC AND accuracy
+within tolerance (README.md:10 lists both), plus — when multitrial ran —
+the specificity floor (README.md:46). FAIL names every failing metric.
+
 `smoke=True` runs the identical plumbing end-to-end on synthetic data with
 a tiny model (tests/test_parity_runbook.py) so the runbook itself is
-validated today.
+validated today; `shrink_geometry=True` instead keeps the REAL loaders and
+full gating but at the smoke model geometry — the dress-rehearsal mode the
+partial-data-root test matrix runs (a PASS there is still labelled as not
+parity evidence).
 """
 
 from __future__ import annotations
@@ -54,9 +74,13 @@ _FT_PRESETS = {
 }
 
 
-def check_inputs(data_root: str) -> dict:
+def check_inputs(data_root: str, vit_cfg=None) -> dict:
     """Which parity inputs are REAL (vs the synthetic fallbacks the loaders
-    would otherwise substitute)? Never raises; pure availability probe."""
+    would otherwise substitute)? Never raises; pure availability probe.
+
+    `vit_cfg` sets the geometry the weight probe converts against — pass the
+    geometry stage 1 will actually construct (a weight file that converts at
+    the default geometry but not the run's is NOT an available input)."""
     from vit2spn_tpu.data.datasets import load_dataset
 
     out = {}
@@ -67,32 +91,37 @@ def check_inputs(data_root: str) -> dict:
         except Exception:  # noqa: BLE001 — missing/corrupt == unavailable
             out[name] = False
     # pretrained ViT-Tiny (ssp_vit2spn_tiny.py:112): local weights via
-    # $VIT2SPN_VIT_TINY_PATH or the HF cache — probe without loading
+    # $VIT2SPN_VIT_TINY_PATH or the HF cache
     try:
         from vit2spn_tpu.models.hf_convert import load_pretrained_vit_tiny
         from vit2spn_tpu.core.config import ViTConfig
 
-        load_pretrained_vit_tiny(ViTConfig())
+        load_pretrained_vit_tiny(vit_cfg or ViTConfig())
         out["vit_tiny_weights"] = True
     except Exception:  # noqa: BLE001
         out["vit_tiny_weights"] = False
     return out
 
 
-def _smoke_overrides(cfg):
-    """Tiny geometry for the synthetic end-to-end smoke of the runbook
-    plumbing (NOT a parity measurement)."""
-    from vit2spn_tpu.core.config import AugmentConfig, ViTConfig
+def smoke_vit_config():
+    """The tiny model geometry both smoke and shrink_geometry runs use.
+    Exposed so tests can generate a matching ViT-Tiny weight stand-in
+    (models/hf_convert.convert_to_hf_state_dict of an init_vit tree)."""
+    from vit2spn_tpu.core.config import ViTConfig
 
-    vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
-                    num_layers=2, num_heads=2, mlp_dim=64)
+    return ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                     num_layers=2, num_heads=2, mlp_dim=64)
+
+
+def _shrink_overrides(cfg):
+    """Tiny geometry + tiny protocol sizes; loaders/gating untouched (the
+    dress-rehearsal half of _smoke_overrides)."""
+    from vit2spn_tpu.core.config import AugmentConfig
+
+    vit = smoke_vit_config()
     data = dataclasses.replace(
         cfg.data, augment=AugmentConfig(out_size=32)
     )
-    # synthetic stand-ins everywhere: the smoke validates the runbook's
-    # plumbing (stage chaining, export ingest, report shape), not the
-    # dataset loaders (tests/test_data.py covers those)
-    data = dataclasses.replace(data, name="synthetic")
     kw = dict(vit=vit, data=data, batch_size=8, compute_dtype="float32")
     if hasattr(cfg, "accumulation_steps"):
         kw["accumulation_steps"] = 2
@@ -111,6 +140,61 @@ def _smoke_overrides(cfg):
     return dataclasses.replace(cfg, **kw)
 
 
+def _smoke_overrides(cfg):
+    """Tiny geometry AND synthetic stand-in data for the end-to-end smoke of
+    the runbook plumbing (NOT a parity measurement)."""
+    cfg = _shrink_overrides(cfg)
+    # synthetic stand-ins everywhere: the smoke validates the runbook's
+    # plumbing (stage chaining, export ingest, report shape), not the
+    # dataset loaders (tests/test_data.py covers those)
+    return dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, name="synthetic")
+    )
+
+
+def compute_status(report: dict) -> str:
+    """The runbook's verdict, pure over the assembled report dict.
+
+    PASS/FAIL only when every input was real (README.md:10's numbers assume
+    the full chain: octmnist pretraining corpus, both fine-tune folder sets,
+    ImageNet ViT-Tiny init); FAIL names every failing metric; any missing
+    input yields INPUTS-INCOMPLETE naming it."""
+    if report.get("smoke"):
+        return "SMOKE ONLY — synthetic stand-ins, numbers are not parity evidence"
+    missing = [k for k, v in report["inputs"].items() if not v]
+    if missing:
+        s = "INPUTS-INCOMPLETE: missing " + ", ".join(missing)
+        if "octmnist" in missing:
+            s += (
+                " — the published chain pretrains on octmnist.npz "
+                "(ssp_vit2spn_tiny.py:101-107), so no stage ran; place the "
+                "inputs under the data root ($VIT2SPN_VIT_TINY_PATH for the "
+                "ViT-Tiny weights) and re-run"
+            )
+        else:
+            s += (
+                " — measured stages are recorded below, but no PASS/FAIL "
+                "against the published table (README.md:10) until every "
+                "input is real"
+            )
+        return s
+    failures = []
+    if report["ssp"]["collapse_flag"]:
+        failures.append("ssp pred_std collapse")
+    for name, e in report["datasets"].items():
+        if not e["mauc_within"]:
+            failures.append(f"{name} mAUC")
+        if not e["accuracy_within"]:
+            failures.append(f"{name} accuracy")
+    mt = report.get("multitrial")
+    if mt is not None and not mt["floor_within_tol"]:
+        failures.append("multitrial specificity")
+    status = "PASS" if not failures else "FAIL: " + ", ".join(failures)
+    if report.get("shrunk_geometry"):
+        status += " (shrunk geometry — NOT parity evidence)"
+    return status
+
+
 def run_parity(
     data_root: str = "./datasets",
     out_dir: str = "./output/parity",
@@ -120,6 +204,7 @@ def run_parity(
     ft_epochs: Optional[int] = None,
     tol: float = 0.02,
     skip_multitrial: bool = False,
+    shrink_geometry: bool = False,
 ) -> dict:
     """Execute the published chain end-to-end and write the comparison
     artifact. Returns the report dict (also written as JSON + markdown).
@@ -139,33 +224,55 @@ def run_parity(
         os.path.join(out_dir, "parity_metrics.jsonl"), echo=True
     )
 
-    inputs = check_inputs(data_root)
-    logger.log("parity_inputs", **inputs)
-    report: dict = {"inputs": inputs, "smoke": smoke, "datasets": {}}
-
-    runnable = [k for k in _FT_PRESETS if inputs[k]]
-    if smoke:
-        runnable = list(_FT_PRESETS)  # synthetic stand-ins validate plumbing
-    if not runnable:
-        report["status"] = (
-            "no real datasets found; place octmnist.npz / octid / ucsdoct "
-            f"under {data_root} (and ViT-Tiny weights via "
-            "$VIT2SPN_VIT_TINY_PATH) then re-run"
-        )
-        _write_report(report, out_dir)
-        return report
-
-    # ---- stage 1: SSP pretrain (ssp_vit2spn_tiny.py, 100 epochs) ----------
+    # ---- stage 0: input provenance --------------------------------------
+    # geometry first, THEN probe: the weight probe must convert against the
+    # geometry stage 1 will actually construct
     ssp_cfg = get_preset("ssp")
     ssp_cfg = dataclasses.replace(
         ssp_cfg, data=dataclasses.replace(ssp_cfg.data, root=data_root)
     )
     if smoke:
+        ssp_cfg = _smoke_overrides(ssp_cfg)
+    elif shrink_geometry:
+        ssp_cfg = _shrink_overrides(ssp_cfg)
+    inputs = check_inputs(data_root, vit_cfg=ssp_cfg.vit)
+    logger.log("parity_inputs", **inputs)
+    report: dict = {"inputs": inputs, "smoke": smoke, "tol": tol,
+                    "datasets": {}}
+    if shrink_geometry:
+        report["shrunk_geometry"] = True
+
+    if smoke:
+        runnable = list(_FT_PRESETS)  # synthetic stand-ins validate plumbing
+        # exercise the pretrained-ingest branch whenever a (smoke-geometry)
+        # weight stand-in is reachable — the path the real run takes
         ssp_cfg = dataclasses.replace(
-            _smoke_overrides(ssp_cfg), pretrained_init=False
+            ssp_cfg, pretrained_init=inputs["vit_tiny_weights"]
         )
+    else:
+        runnable = [k for k in _FT_PRESETS if inputs[k]]
+        if not inputs["octmnist"]:
+            # stage 1 pretrains on octmnist; a synthetic backbone must never
+            # feed the fine-tune stages, so nothing runs
+            report["status"] = compute_status(report)
+            _write_report(report, out_dir)
+            logger.log("parity_done", status=report["status"])
+            return report
+
+    # ---- stage 1: SSP pretrain (ssp_vit2spn_tiny.py, 100 epochs) ----------
     trainer = SSPTrainer(ssp_cfg, logger=logger)
-    ds = load_dataset(ssp_cfg.data.name, root=ssp_cfg.data.root)
+    if not smoke:
+        if inputs["vit_tiny_weights"] and trainer.init_provenance != "pretrained":
+            # the probe passed but the run's own ingest fell back (corrupt /
+            # replaced file): gate on what actually happened
+            inputs["vit_tiny_weights"] = False
+        if not inputs["vit_tiny_weights"]:
+            report["init_deviation"] = "random"
+    logger.log("parity_ssp_init", provenance=trainer.init_provenance)
+    ds = load_dataset(
+        ssp_cfg.data.name, root=ssp_cfg.data.root,
+        allow_synthetic=smoke,  # non-smoke NEVER trains on the stand-in
+    )
     train = ds.split("train") if "train" in ds.splits else ds
     ssp_epochs = epochs if epochs is not None else (2 if smoke else None)
     history = trainer.fit(
@@ -193,6 +300,7 @@ def run_parity(
         "final_loss": float(history[-1]) if history else None,
         "pred_std": pred_std,
         "collapse_flag": bool(collapsed),
+        "init_provenance": trainer.init_provenance,
         "export": export,
     }
     logger.log("parity_ssp_done", **{k: v for k, v in report["ssp"].items()
@@ -209,24 +317,35 @@ def run_parity(
         )
         if smoke:
             cfg = _smoke_overrides(cfg)
+        elif shrink_geometry:
+            cfg = _shrink_overrides(cfg)
         backbone = _load_export(export, cfg)
+        # non-smoke passes the real-loaded dataset explicitly so the
+        # protocol can never fall back to the synthetic stand-in
+        ft_ds = None if smoke else load_dataset(
+            name, root=data_root, allow_synthetic=False
+        )
         res = run_cv_protocol(
-            cfg, backbone_params=backbone, logger=logger,
+            cfg, dataset=ft_ds, backbone_params=backbone, logger=logger,
             epochs=ft_epochs if ft_epochs is not None else (1 if smoke else None),
         )
         pub = PUBLISHED[name]
+        d_mauc = res.mean_auc - pub["mauc"]
+        d_acc = res.test_summary["accuracy"] - pub["accuracy"]
         entry = {
             "measured_mauc": res.mean_auc,
             "measured_mauc_std": res.std_auc,
             "measured_accuracy": res.test_summary["accuracy"],
             "published_mauc": pub["mauc"],
             "published_accuracy": pub["accuracy"],
-            "delta_mauc": res.mean_auc - pub["mauc"],
-            "delta_accuracy": res.test_summary["accuracy"] - pub["accuracy"],
-            "within_tol": bool(
-                abs(res.mean_auc - pub["mauc"]) <= tol or res.mean_auc > pub["mauc"]
-            ),
+            "delta_mauc": d_mauc,
+            "delta_accuracy": d_acc,
+            # per-metric gates: at-or-above published, minus tolerance
+            # (README.md:10 lists mAUC AND accuracy — both gate the verdict)
+            "mauc_within": bool(d_mauc >= -tol),
+            "accuracy_within": bool(d_acc >= -tol),
         }
+        entry["within_tol"] = entry["mauc_within"] and entry["accuracy_within"]
         report["datasets"][name] = entry
         logger.log("parity_ft", dataset=name, **entry)
 
@@ -241,9 +360,14 @@ def run_parity(
         )
         if smoke:
             cfg = _smoke_overrides(cfg)
+        elif shrink_geometry:
+            cfg = _shrink_overrides(cfg)
         backbone = _load_export(export, cfg)
+        mt_ds = None if smoke else load_dataset(
+            "octmnist", root=data_root, allow_synthetic=False
+        )
         mt = run_multitrial(
-            cfg, backbone_params=backbone, logger=logger,
+            cfg, dataset=mt_ds, backbone_params=backbone, logger=logger,
             epochs=ft_epochs if ft_epochs is not None else (1 if smoke else None),
             resume_path=os.path.join(out_dir, "multitrial_state.json"),
         )
@@ -254,17 +378,14 @@ def run_parity(
             "specificity_std": agg["specificity"]["std"],
             "published_specificity_floor": PUBLISHED_MULTITRIAL_SPECIFICITY,
             "meets_floor": bool(spec > PUBLISHED_MULTITRIAL_SPECIFICITY),
+            # the gate (README.md:46), tolerance-padded like the table metrics
+            "floor_within_tol": bool(
+                spec >= PUBLISHED_MULTITRIAL_SPECIFICITY - tol
+            ),
         }
         logger.log("parity_multitrial", **report["multitrial"])
 
-    all_within = all(
-        e["within_tol"] for e in report["datasets"].values()
-    ) and not report["ssp"]["collapse_flag"]
-    report["status"] = (
-        "SMOKE ONLY — synthetic stand-ins, numbers are not parity evidence"
-        if smoke
-        else ("PASS" if all_within else "FAIL")
-    )
+    report["status"] = compute_status(report)
     _write_report(report, out_dir)
     logger.log("parity_done", status=report["status"])
     return report
@@ -296,37 +417,49 @@ def _write_report(report: dict, out_dir: str) -> None:
         ),
         "",
     ]
+    if report.get("init_deviation"):
+        lines += [
+            "Init deviation: **random** — the published chain initializes "
+            "from ImageNet ViT-Tiny (ssp_vit2spn_tiny.py:112); these numbers "
+            "are not comparable to the published table.",
+            "",
+        ]
     if "ssp" in report:
         s = report["ssp"]
         lines += [
             f"SSP: {s['epochs_run']} epochs, final loss "
-            f"{s['final_loss']:.4f}, pred_std {s['pred_std']:.4f}"
+            f"{s['final_loss']:.4f}, pred_std {s['pred_std']:.4f}, "
+            f"init {s['init_provenance']}"
             + (" **COLLAPSE FLAG** (features near-constant; downstream "
                "numbers not parity evidence)" if s["collapse_flag"] else ""),
             "",
         ]
     if report["datasets"]:
         lines += [
-            "| dataset | published mAUC | measured mAUC | Δ | published acc"
-            " | measured acc | Δ | within tol |",
-            "|---|---|---|---|---|---|---|---|",
+            "| dataset | published mAUC | measured mAUC | Δ | mAUC ok |"
+            " published acc | measured acc | Δ | acc ok |",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
         for name, e in report["datasets"].items():
             lines.append(
                 f"| {name} | {e['published_mauc']:.3f} | "
                 f"{e['measured_mauc']:.3f} ± {e['measured_mauc_std']:.3f} | "
-                f"{e['delta_mauc']:+.3f} | {e['published_accuracy']:.2f} | "
+                f"{e['delta_mauc']:+.3f} |"
+                f" {'yes' if e['mauc_within'] else 'NO'} | "
+                f"{e['published_accuracy']:.2f} | "
                 f"{e['measured_accuracy']:.3f} | {e['delta_accuracy']:+.3f} |"
-                f" {'yes' if e['within_tol'] else 'NO'} |"
+                f" {'yes' if e['accuracy_within'] else 'NO'} |"
             )
         lines.append("")
     if "multitrial" in report:
         m = report["multitrial"]
         lines.append(
-            f"Multitrial specificity: {m['specificity_mean']:.4f} ± "
+            f"Multitrial specificity (gates the verdict): "
+            f"{m['specificity_mean']:.4f} ± "
             f"{m['specificity_std']:.4f} vs published floor "
             f"{m['published_specificity_floor']} — "
-            + ("meets" if m["meets_floor"] else "BELOW")
+            + ("meets" if m["meets_floor"] else
+               ("within tolerance" if m["floor_within_tol"] else "BELOW"))
         )
     with open(os.path.join(out_dir, "parity_report.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -116,8 +116,17 @@ class SSPTrainer:
                 "(fused block kernel is DP-only)",
             )
         if self._tp > 1 and dist_mode == "shard_map":
-            raise NotImplementedError(
-                "shard_map dist_mode is DP-only; use gspmd with model_parallel>1"
+            # Permanent, documented asymmetry (PARITY.md deviation 11): the
+            # explicit-collective mode demonstrates the reference's DDP
+            # (data-parallel) scaffold; TP is fully served by the GSPMD path
+            # (parallel/tp.py). An explicit shard_map TP would need a
+            # head-aligned qkv layout (the stored (d, 3d) q|k|v concat makes
+            # per-shard slices cross q/k/v boundaries) for a configuration
+            # measured to be academic here (TP forces XLA attention: 2.68x
+            # slower than the fused DP kernel, VALIDATION.md).
+            raise ValueError(
+                "shard_map dist_mode is DP-only (permanent — PARITY.md "
+                "deviation 11); use dist_mode='gspmd' for model_parallel>1"
             )
         self.attn_impl = attn_impl
         # Adam over trainable params only (targets are frozen; torch's
@@ -125,8 +134,21 @@ class SSPTrainer:
         self.tx = optax.adam(cfg.learning_rate)
 
         key = rngmod.root_key(cfg.seed)
-        if cfg.pretrained_init and backbone_params is None:
+        # init_provenance records what the backbone init ACTUALLY was — the
+        # parity runbook gates its verdict on this, because
+        # _try_pretrained_backbone falls back to random SILENTLY (a corrupt
+        # weight file must not let a run be judged against the published
+        # ImageNet-init table, ssp_vit2spn_tiny.py:112).
+        if backbone_params is not None:
+            self.init_provenance = "explicit"
+        elif cfg.pretrained_init:
             backbone_params = self._try_pretrained_backbone(key)
+            self.init_provenance = (
+                "pretrained" if backbone_params is not None
+                else "random_fallback"
+            )
+        else:
+            self.init_provenance = "random"
         params = init_dual_stream(key, cfg, backbone_params)
         opt_state = self.tx.init((params.online, params.heads))
         state = SSPTrainState(params, opt_state, jnp.zeros((), jnp.int32))
