@@ -1,3 +1,5 @@
+import warnings
+
 import numpy as np
 import pytest
 
@@ -109,6 +111,35 @@ def test_stratified_kfold_properties():
         for cls, total in zip(range(4), [50, 30, 15, 5]):
             got = (labels[val] == cls).sum()
             assert abs(got - total / 5) <= 1
+
+
+def test_stratified_kfold_never_empty_fold():
+    """On-chip regression (multitrial over a small staged corpus): 21
+    samples / 4 classes / 10 folds — every class has < n_splits members, so
+    a per-class-restarting deal leaves folds 5-9 EMPTY and the eval scan
+    crashes opaquely. sklearn's StratifiedKFold keeps overall fold sizes
+    within +-1 (never empty while n >= k); ours must too."""
+    rng = np.random.default_rng(0)
+    labels = rng.permutation(np.repeat(np.arange(4), [6, 5, 5, 5]))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        folds = list(stratified_kfold(labels, 10, seed=42))
+    sizes = [len(v) for _, v in folds]
+    assert min(sizes) >= 1 and max(sizes) - min(sizes) <= 1
+    all_val = np.sort(np.concatenate([v for _, v in folds]))
+    assert (all_val == np.arange(21)).all()  # still a partition
+    # per-class stratification invariant holds under the continued deal
+    for _, val in folds:
+        for cls, total in zip(range(4), [6, 5, 5, 5]):
+            assert abs((labels[val] == cls).sum() - total / 10) <= 1
+
+
+def test_stratified_kfold_sklearn_edge_semantics():
+    labels = np.repeat(np.arange(2), 3)  # n=6
+    with pytest.raises(ValueError, match="n_splits=10"):
+        list(stratified_kfold(labels, 10))
+    with pytest.warns(UserWarning, match="least populated class"):
+        list(stratified_kfold(labels, 5))
 
 
 def test_stratified_holdout_70_20_10():

@@ -372,6 +372,14 @@ class FineTuneTrainer:
 
     def evaluate(self, ds: Dataset, class_weights: np.ndarray, seed: int = 0):
         """Returns (mean loss, probs (N, C), labels (N,)) — one dispatch."""
+        if len(ds) == 0:
+            # fail HERE with the cause, not as an opaque IndexError inside
+            # the eval scan (an empty CV val fold crashed there on-chip
+            # before stratified_kfold guaranteed non-empty folds)
+            raise ValueError(
+                "evaluate() got an empty dataset — check the CV fold / "
+                "subset sizes (k_folds vs samples per class)"
+            )
         images, labels = self._device_data(ds)
         idx_mat, mask_mat = self._eval_indices(len(ds))
         eval_key = rngmod.fold(rngmod.root_key(self.cfg.seed), 104729, seed)
