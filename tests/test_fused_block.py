@@ -243,9 +243,9 @@ def test_fast_gelu_matches_exact(setup, monkeypatch):
     # direct approximation-quality pins (float64 reference)
     from math import erf as pyerf
 
-    xs = np.linspace(-6.0, 6.0, 20001)
-    ref = np.array([pyerf(v) for v in xs])
-    got = np.asarray(fb_mod._erf_fast(jnp.asarray(xs)))
+    xs = np.linspace(-8.0, 8.0, 20001)
+    ref = xs * 0.5 * (1.0 + np.array([pyerf(v / np.sqrt(2)) for v in xs]))
+    got = np.asarray(fb_mod._gelu_fast(jnp.asarray(xs)))
     assert np.abs(got - ref).max() < 1e-4
     gref = (
         0.5 * (1.0 + np.array([pyerf(v / np.sqrt(2)) for v in xs]))

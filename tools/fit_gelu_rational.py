@@ -22,7 +22,10 @@ def fit_rational_odd(f, B, dp, dq, iters=40):
     return p, q, np.abs(err).max(), approx[-1]
 
 for name, f, B in [
-    ("erf", erf, 2.85),
+    ("erf", erf, 2.85),  # historical (the round-2 fwd path went through erf)
+    # fwd/recompute: gelu(x) = x*(0.5 + (Phi(x)-0.5)), fit the odd cdf part
+    # directly — two VPU ops cheaper than 0.5*x*(1+erf(x/sqrt(2)))
+    ("gelu_cdf_odd", lambda x: 0.5*erf(x/sqrt(2)), 4.6),
     ("gelu_grad_odd", lambda x: 0.5*(1+erf(x/sqrt(2))) + x*exp(-x*x/2)/sqrt(2*pi) - 0.5, 4.6),
 ]:
     for dp, dq in ((3, 3), (4, 3), (4, 4)):

@@ -50,11 +50,12 @@ WEIGHT_NAMES = (
 
 # The gelu path evaluates ~1.6e9 transcendentals per production step (erf in
 # the fwd + recompute, erf+gaussian in the grad) on the VPU. FAST_GELU swaps
-# them for exp-free odd rational approximations (least-squares fits, this
-# tools/fit_gelu_rational.py): |err| <= 1.6e-6 (erf, clamped at 2.85
-# where erf=0.999944) and 4.6e-5 (gelu'), both orders below bf16's 2^-8
-# relative resolution — the kernels cast gelu outputs to bf16, so the
-# approximation is invisible downstream.
+# them for exp-free rational approximations (least-squares fits,
+# tools/fit_gelu_rational.py): the fwd/recompute gelu goes through a direct
+# odd rational for the gaussian cdf (abs err 8.7e-6 incl. the clamp tail),
+# the grad through an odd rational for gelu'-0.5 (|err| 4.6e-5) — both
+# orders below bf16's 2^-8 relative resolution; the kernels cast gelu
+# outputs to bf16, so the approximation is invisible downstream.
 def _fast_gelu() -> bool:
     # read at trace time so tests/benches can toggle per-process
     return os.environ.get("VIT2SPN_FAST_GELU", "1") == "1"
@@ -71,24 +72,32 @@ def _erf_exact(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _erf_fast(x):
-    """erf(x) ~ x*P3(x^2)/Q3(x^2) on |x| <= 2.85 (|err| 1.6e-6), argument
-    clamped beyond (erf(2.85) = 0.999944). No transcendentals."""
-    xc = jnp.clip(x, -2.85, 2.85)
+def _gelu_fast(m1):
+    """Direct gelu via an odd rational for the gaussian cdf:
+    Phi(x) - 0.5 ~ x*P3(x^2)/Q3(x^2) on |x| <= 4.6 (fit
+    tools/fit_gelu_rational.py, gelu abs err 8.7e-6 over [0, 8] incl. the
+    clamp tail — orders below bf16), so gelu(x) = x*(0.5 + xc*P/Q). Two VPU
+    ops cheaper than 0.5*x*(1+erf_fast(x/sqrt(2))): the argument pre-scale
+    and the (1 + .) shift fold into the fitted coefficients. The leading x
+    stays UNclamped (gelu -> x for large x; only Phi's argument saturates)."""
+    xc = jnp.clip(m1, -4.6, 4.6)
     s = xc * xc
-    p = 0.0007759375156021812
-    p = 0.04364307199854397 + s * p
-    p = 0.152401946881353 + s * p
-    p = 1.1283910782934625 + s * p
-    q = 0.009499417862424642
-    q = 0.09458288959613165 + s * q
-    q = 0.4684927411517595 + s * q
+    p = 3.303320889057693e-05
+    p = 0.003819241585880179 + s * p
+    p = 0.027416247095983802 + s * p
+    p = 0.3989386549977406 + s * p
+    q = 0.0011597711855913715
+    q = 0.023787000484733943 + s * q
+    q = 0.23538129451100157 + s * q
     q = 1.0 + s * q
-    return xc * p / q
+    return m1 * (0.5 + xc * (p / q))
 
 
-def _erf(x):
-    return _erf_fast(x) if _fast_gelu() else _erf_exact(x)
+def _gelu(m1):
+    """Exact-erf gelu or the direct cdf-rational (VIT2SPN_FAST_GELU)."""
+    if _fast_gelu():
+        return _gelu_fast(m1)
+    return 0.5 * m1 * (1.0 + _erf_exact(m1 * 0.7071067811865476))
 
 
 def _ln_fwd(x2d, scale, bias, eps):
@@ -146,9 +155,9 @@ def _block_fwd_math(x2d, w, bt, sp, d, heads, seq_len, eps, dtype):
     y2 = y2.astype(dtype)
     m1 = jnp.dot(y2, w["w1"], preferred_element_type=jnp.float32)
     m1 = m1 + w["b1"].astype(jnp.float32)
-    # exact gelu via lax.erf (jax.nn.gelu lowers through erfc, which
-    # Mosaic does not implement)
-    g = (0.5 * m1 * (1.0 + _erf(m1 * 0.7071067811865476))).astype(dtype)
+    # gelu without erf/erfc (Mosaic implements neither; jax.nn.gelu lowers
+    # through erfc): exact A&S rational, or the direct cdf rational (fast)
+    g = _gelu(m1).astype(dtype)
     m2 = jnp.dot(g, w["w2"], preferred_element_type=jnp.float32)
     out = x2 + m2 + w["b2"].astype(jnp.float32)
     return dict(
@@ -300,7 +309,7 @@ def _mlp_bwd_math(x2, dout, w, dtype, eps):
     m1 = jnp.dot(y2, w["w1"], preferred_element_type=jnp.float32)
     m1 = (m1 + w["b1"].astype(jnp.float32)).astype(dtype)
     m1f = m1.astype(jnp.float32)
-    g = (0.5 * m1f * (1.0 + _erf(m1f * 0.7071067811865476))).astype(dtype)
+    g = _gelu(m1f).astype(dtype)
     gg = _gelu_grad(m1f).astype(dtype)
     del m1f
 
