@@ -76,6 +76,31 @@ def test_feature_semantics_parity(hf_pair):
     assert np.abs(ref_feats - ref_wrong).max() > 1e-3
 
 
+def test_convert_rejects_wrong_geometry(hf_pair):
+    """A weight file at one geometry must NOT 'convert' at another: the
+    patch-embed reshape and most leaf copies succeed silently at a wrong
+    hidden size and crash (broadcast error) deep inside training instead —
+    found live by a full-geometry ViT-Tiny stand-in fed to a
+    --shrink-geometry parity run."""
+    cfg, model, _ = hf_pair
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    import dataclasses
+
+    for wrong in (
+        dataclasses.replace(cfg, hidden_size=48, num_heads=4),
+        dataclasses.replace(cfg, mlp_dim=96),
+        dataclasses.replace(cfg, image_size=64),  # pos_embed length
+    ):
+        with pytest.raises(ValueError, match="geometry"):
+            convert_hf_state_dict(state, wrong)
+    # more requested layers than the file has -> KeyError is fine too; the
+    # availability probe treats any raise as "unavailable at this geometry"
+    with pytest.raises((ValueError, KeyError)):
+        convert_hf_state_dict(
+            state, dataclasses.replace(cfg, num_layers=4)
+        )
+
+
 def test_local_weight_file_loading(hf_pair, tmp_path, monkeypatch):
     """Real-data readiness: load_pretrained_vit_tiny must accept a local
     .safetensors or .npz state-dict file (and $VIT2SPN_VIT_TINY_PATH), so

@@ -25,6 +25,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from vit2spn_tpu.evals.parity import (
     PUBLISHED,
@@ -225,6 +226,90 @@ def test_parity_all_data_no_weights(tmp_path, monkeypatch):
     )
     assert set(report["datasets"]) == set(PUBLISHED)
     assert report["init_deviation"] == "random"
+
+
+def test_parity_resume_gates_checkpoint_lineage(tmp_path, monkeypatch):
+    """A random-lineage ssp_checkpoint.npz resumed under a later run WITH
+    weights available must not be judged PASS/FAIL: the resumed state never
+    saw the pretrained init, fit() adopts the checkpoint's recorded
+    provenance, and the post-fit gate downgrades the input."""
+    import dataclasses
+
+    import jax
+
+    from vit2spn_tpu.core.presets import get_preset
+    from vit2spn_tpu.evals.parity import _shrink_overrides
+    from vit2spn_tpu.train import checkpoint as ckpt
+    from vit2spn_tpu.train.ssp import SSPTrainer
+
+    root = str(tmp_path / "data")
+    _write_octmnist(root)
+    _write_folder(root, "octird", ["amd", "csr", "dr", "mh", "normal"], 10)
+    _write_folder(root, "ucsdoct", ["CNV", "DME", "DRUSEN", "NORMAL"], 12)
+    wpath = str(tmp_path / "vit_tiny_smoke.npz")
+    _write_smoke_weights(wpath)
+    monkeypatch.setenv("VIT2SPN_VIT_TINY_PATH", wpath)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    # pre-seed the RANDOM-lineage checkpoint a previous no-weights run would
+    # have left behind, at the exact state geometry the shrunk run constructs
+    ssp_cfg = get_preset("ssp")
+    ssp_cfg = dataclasses.replace(
+        ssp_cfg,
+        data=dataclasses.replace(ssp_cfg.data, root=root),
+        pretrained_init=False,
+    )
+    ssp_cfg = _shrink_overrides(ssp_cfg)
+    seed_tr = SSPTrainer(ssp_cfg, logger=_logger())
+    ckpt.save(
+        os.path.join(out, "ssp_checkpoint.npz"),
+        jax.device_get(seed_tr.state),
+        {"epoch": 1, "loss": -0.25, "init_provenance": "random"},
+    )
+
+    report = run_parity(
+        data_root=root, out_dir=out, logger=_logger(),
+        shrink_geometry=True, epochs=1, ft_epochs=1, skip_multitrial=True,
+    )
+    # the upfront probe saw the weights, but the resumed state never used them
+    assert report["ssp"]["init_provenance"] == "random"
+    assert report["inputs"]["vit_tiny_weights"] is False
+    s = report["status"]
+    assert s.startswith("INPUTS-INCOMPLETE") and "vit_tiny_weights" in s
+    assert report["init_deviation"] == "random"
+    # resume-aware accounting: resumed at the single requested epoch, so no
+    # new epochs ran and the final loss is the checkpoint's
+    assert report["ssp"]["epochs_run"] == 1
+    assert report["ssp"]["final_loss"] == pytest.approx(-0.25)
+    # the markdown report renders through the resumed-empty-history path
+    md = open(os.path.join(out, "parity_report.md")).read()
+    assert "INPUTS-INCOMPLETE" in md
+
+
+def test_probe_dataset_structural(tmp_path):
+    """check_inputs' availability probe must not pay the full decode, but
+    still reject missing/corrupt/empty inputs."""
+    from vit2spn_tpu.data.datasets import probe_dataset
+
+    root = str(tmp_path)
+    assert probe_dataset("octmnist", root) is False
+    assert probe_dataset("octid", root) is False
+    assert probe_dataset("ucsdoct", root) is False
+    _write_octmnist(root)
+    _write_folder(root, "octird", ["amd", "csr"], 1)
+    assert probe_dataset("octmnist", root) is True
+    assert probe_dataset("octid", root) is True
+    assert probe_dataset("ucsdoct", root) is False
+    # empty class dirs are not available
+    os.makedirs(os.path.join(root, "ucsdoct", "CNV"))
+    assert probe_dataset("ucsdoct", root) is False
+    # a truncated npz (no zip directory) is unavailable, not an exception
+    p = os.path.join(root, "octmnist.npz")
+    blob = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    assert probe_dataset("octmnist", root) is False
 
 
 # ---------------------------------------------------------------------------

@@ -208,3 +208,12 @@ def test_multitrial_resume(tiny_ft, tmp_path):
             cfg, mesh=dataclasses.replace(cfg.mesh, model_parallel=2)
         ),
     ) != []
+    # a state written under an older fold algorithm (pre-23cb8ca per-class-
+    # restarting deal) is a DIFFERENT data partition: must invalidate, never
+    # mix into one aggregate
+    from vit2spn_tpu.evals.protocol import _trial_state_key
+    old = json.load(open(state))
+    old["key"].pop("fold_algorithm")
+    json.dump(old, open(state, "w"))
+    assert _load_trial_state(state, cfg) == []
+    assert "fold_algorithm" in _trial_state_key(cfg, None)

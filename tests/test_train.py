@@ -51,6 +51,36 @@ def test_ssp_checkpoint_resume(tiny_ssp, tmp_path):
     assert int(jax.device_get(tr2.state.step)) == step_after_2 + 2  # 1 extra epoch (2 steps/epoch... )
 
 
+def test_ssp_resume_adopts_checkpoint_provenance(tiny_ssp, tmp_path):
+    """The restored state replaces the fresh init, so fit() adopts the
+    checkpoint's recorded lineage — a random-lineage checkpoint must not
+    ride a later 'pretrained' construction past the parity runbook's
+    provenance gate (evals/parity.py)."""
+    cfg = dataclasses.replace(tiny_ssp, checkpoint_every_epochs=1)
+    ds = synthetic_dataset(image_size=28, split_sizes={"train": 32})
+    path = str(tmp_path / "ckpt.npz")
+    tr = SSPTrainer(cfg, logger=QUIET)
+    assert tr.init_provenance == "random"
+    hist = tr.fit(ds, epochs=1, checkpoint_path=path)
+    assert ckpt.metadata(path)["init_provenance"] == "random"
+
+    tr2 = SSPTrainer(cfg, logger=QUIET)
+    tr2.init_provenance = "pretrained"  # simulate a successful weight ingest
+    resumed = tr2.fit(ds, epochs=1, checkpoint_path=path)  # resume past end
+    assert tr2.init_provenance == "random"  # checkpoint lineage wins
+    assert resumed == []
+    assert tr2.fit_resume_epoch == 1
+    assert tr2.fit_resume_loss == pytest.approx(hist[-1])
+
+    # pre-provenance-field checkpoints cannot prove their lineage
+    ckpt.save(path, jax.device_get(tr.state),
+              {"epoch": 1, "loss": float(hist[-1])})
+    tr3 = SSPTrainer(cfg, logger=QUIET)
+    tr3.init_provenance = "pretrained"
+    tr3.fit(ds, epochs=1, checkpoint_path=path)
+    assert tr3.init_provenance == "resume_unverified"
+
+
 def test_export_restore_roundtrip(tiny_ssp, tmp_path):
     ds = synthetic_dataset(image_size=28, split_sizes={"train": 32})
     tr = SSPTrainer(tiny_ssp, logger=QUIET)

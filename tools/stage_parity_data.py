@@ -55,31 +55,31 @@ def stage_octmnist(root, sizes):
 
 
 def stage_folder(root, sub, classes, n_per, size=256, seed=13):
+    """Exactly n_per images per class, ALL carrying the generator's class
+    signal — the label draw is uniform, so keep drawing fresh batches until
+    every class is filled (a noise-image top-up would inject label noise
+    and depress the rehearsal fine-tunes for reasons unrelated to the
+    plumbing under test)."""
     from PIL import Image
 
-    ds = synthetic_dataset(
-        num_classes=len(classes), image_size=size, channels=1,
-        split_sizes={"all": n_per * len(classes)}, seed=seed,
-    )
     counts = {c: 0 for c in classes}
-    for img, lab in zip(ds.images, ds.labels):
-        cls = classes[int(lab)]
-        if counts[cls] >= n_per:
-            continue
-        d = os.path.join(root, sub, cls)
-        os.makedirs(d, exist_ok=True)
-        Image.fromarray(img[:, :, 0], "L").save(
-            os.path.join(d, f"{counts[cls]:04d}.jpg"), quality=92
+    draw_seed = seed
+    while min(counts.values()) < n_per:
+        ds = synthetic_dataset(
+            num_classes=len(classes), image_size=size, channels=1,
+            split_sizes={"all": 2 * n_per * len(classes)}, seed=draw_seed,
         )
-        counts[cls] += 1
-    # top up classes the label draw under-filled
-    rng = np.random.default_rng(seed + 1)
-    for cls, got in counts.items():
-        for i in range(got, n_per):
-            img = (rng.random((size, size)) * 255).astype(np.uint8)
-            Image.fromarray(img, "L").save(
-                os.path.join(root, sub, cls, f"{i:04d}.jpg"), quality=92
+        for img, lab in zip(ds.images, ds.labels):
+            cls = classes[int(lab)]
+            if counts[cls] >= n_per:
+                continue
+            d = os.path.join(root, sub, cls)
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(img[:, :, 0], "L").save(
+                os.path.join(d, f"{counts[cls]:04d}.jpg"), quality=92
             )
+            counts[cls] += 1
+        draw_seed += 1000003  # fresh labels AND content next round
     return os.path.join(root, sub)
 
 

@@ -99,6 +99,58 @@ def load_dataset(name: str, root: str = "./datasets", **kw) -> Dataset:
     return _REGISTRY[name](root=root, **kw)
 
 
+def probe_dataset(name: str, root: str = "./datasets") -> bool:
+    """Cheap availability probe: is REAL on-disk data present and plausibly
+    decodable? load_dataset decodes every image — on the real UCSD folder
+    that is minutes of host time — so callers that only need a boolean
+    (e.g. the parity runbook's provenance block) use this instead:
+    structural checks plus ONE sample decode. A file that passes the probe
+    but is corrupt mid-way still fails later at the strict load, loudly."""
+    if name == "octmnist":
+        for candidate in (
+            os.path.join(root, "octmnist.npz"),
+            os.path.expanduser("~/.medmnist/octmnist.npz"),
+        ):
+            if os.path.exists(candidate):
+                try:
+                    # NpzFile members stay compressed until accessed; the
+                    # key check costs only the zip directory read
+                    with np.load(candidate) as raw:
+                        return all(
+                            f"{s}_{k}" in raw.files
+                            for s in ("train", "val", "test")
+                            for k in ("images", "labels")
+                        )
+                except Exception:  # noqa: BLE001 — corrupt == unavailable
+                    return False
+        return False
+    if name in ("octid", "ucsdoct"):
+        from PIL import Image
+
+        subs = ("octird", "octid") if name == "octid" else ("ucsdoct",)
+        exts = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+        for sub in subs:
+            d = os.path.join(root, sub)
+            if not os.path.isdir(d):
+                continue
+            for cls in sorted(os.listdir(d)):
+                cdir = os.path.join(d, cls)
+                if not os.path.isdir(cdir):
+                    continue
+                for fname in sorted(os.listdir(cdir)):
+                    if os.path.splitext(fname)[1].lower() not in exts:
+                        continue
+                    try:
+                        with Image.open(os.path.join(cdir, fname)) as im:
+                            im.convert("L")
+                        return True
+                    except Exception:  # noqa: BLE001
+                        return False
+            return False  # folder exists but holds no class images
+        return False
+    raise KeyError(f"no availability probe for dataset {name!r}")
+
+
 # --------------------------------------------------------------------------
 # OCTMNIST (medmnist npz format)
 # --------------------------------------------------------------------------

@@ -80,14 +80,17 @@ def check_inputs(data_root: str, vit_cfg=None) -> dict:
 
     `vit_cfg` sets the geometry the weight probe converts against — pass the
     geometry stage 1 will actually construct (a weight file that converts at
-    the default geometry but not the run's is NOT an available input)."""
-    from vit2spn_tpu.data.datasets import load_dataset
+    the default geometry but not the run's is NOT an available input).
+
+    Datasets are probed structurally (probe_dataset), NOT fully decoded —
+    run_parity loads each real dataset exactly once, at the stage that
+    consumes it."""
+    from vit2spn_tpu.data.datasets import probe_dataset
 
     out = {}
     for name in ("octmnist", "octid", "ucsdoct"):
         try:
-            load_dataset(name, root=data_root, allow_synthetic=False)
-            out[name] = True
+            out[name] = probe_dataset(name, root=data_root)
         except Exception:  # noqa: BLE001 — missing/corrupt == unavailable
             out[name] = False
     # pretrained ViT-Tiny (ssp_vit2spn_tiny.py:112): local weights via
@@ -259,20 +262,24 @@ def run_parity(
             logger.log("parity_done", status=report["status"])
             return report
 
+    # each real dataset is decoded exactly ONCE (the UCSD folder is minutes
+    # of host decode; check_inputs above only probed structurally)
+    loaded: dict = {}
+
+    def _load_real(name: str):
+        if name not in loaded:
+            loaded[name] = load_dataset(
+                name, root=data_root, allow_synthetic=False
+            )
+        return loaded[name]
+
     # ---- stage 1: SSP pretrain (ssp_vit2spn_tiny.py, 100 epochs) ----------
     trainer = SSPTrainer(ssp_cfg, logger=logger)
-    if not smoke:
-        if inputs["vit_tiny_weights"] and trainer.init_provenance != "pretrained":
-            # the probe passed but the run's own ingest fell back (corrupt /
-            # replaced file): gate on what actually happened
-            inputs["vit_tiny_weights"] = False
-        if not inputs["vit_tiny_weights"]:
-            report["init_deviation"] = "random"
     logger.log("parity_ssp_init", provenance=trainer.init_provenance)
-    ds = load_dataset(
-        ssp_cfg.data.name, root=ssp_cfg.data.root,
-        allow_synthetic=smoke,  # non-smoke NEVER trains on the stand-in
-    )
+    if smoke:  # non-smoke NEVER trains on the stand-in
+        ds = load_dataset(ssp_cfg.data.name, root=ssp_cfg.data.root)
+    else:
+        ds = _load_real(ssp_cfg.data.name)
     train = ds.split("train") if "train" in ds.splits else ds
     ssp_epochs = epochs if epochs is not None else (2 if smoke else None)
     history = trainer.fit(
@@ -280,6 +287,21 @@ def run_parity(
         epochs=ssp_epochs,
         checkpoint_path=os.path.join(out_dir, "ssp_checkpoint.npz"),
     )
+    if not smoke:
+        # gate on what ACTUALLY happened, checked AFTER fit: the
+        # construction-time ingest falls back to random silently (corrupt /
+        # replaced weight file), and resuming ssp_checkpoint.npz REPLACES
+        # the fresh init with the checkpoint's own lineage (fit adopts the
+        # provenance recorded in the checkpoint metadata) — a random-lineage
+        # checkpoint must not ride a later pretrained construction to a
+        # PASS/FAIL verdict.
+        if inputs["vit_tiny_weights"] and trainer.init_provenance != "pretrained":
+            inputs["vit_tiny_weights"] = False
+        if not inputs["vit_tiny_weights"]:
+            report["init_deviation"] = "random"
+        # the effective post-gate record — the upfront `parity_inputs` probe
+        # line can legitimately disagree with this one
+        logger.log("parity_inputs_effective", **inputs)
     export = trainer.export_backbone(
         os.path.join(out_dir, "ssp_backbone_export.npz")
     )
@@ -296,8 +318,12 @@ def run_parity(
     pred_std = float(np.mean(np.std(fn, axis=0)))
     collapsed = pred_std < PRED_STD_COLLAPSE_THRESHOLD
     report["ssp"] = {
-        "epochs_run": len(history),
-        "final_loss": float(history[-1]) if history else None,
+        # total epochs the exported state represents (resume-aware: a run
+        # killed at 70 and resumed reports 100, not 30; fit() may even
+        # resume past the final epoch with an empty history)
+        "epochs_run": trainer.fit_resume_epoch + len(history),
+        "final_loss": (float(history[-1]) if history
+                       else trainer.fit_resume_loss),
         "pred_std": pred_std,
         "collapse_flag": bool(collapsed),
         "init_provenance": trainer.init_provenance,
@@ -322,13 +348,15 @@ def run_parity(
         backbone = _load_export(export, cfg)
         # non-smoke passes the real-loaded dataset explicitly so the
         # protocol can never fall back to the synthetic stand-in
-        ft_ds = None if smoke else load_dataset(
-            name, root=data_root, allow_synthetic=False
-        )
+        ft_ds = None if smoke else _load_real(name)
         res = run_cv_protocol(
             cfg, dataset=ft_ds, backbone_params=backbone, logger=logger,
             epochs=ft_epochs if ft_epochs is not None else (1 if smoke else None),
         )
+        if name != "octmnist":
+            # folder datasets are done after their protocol (UCSD is ~GBs of
+            # host RAM); octmnist stays for the multitrial stage
+            loaded.pop(name, None)
         pub = PUBLISHED[name]
         d_mauc = res.mean_auc - pub["mauc"]
         d_acc = res.test_summary["accuracy"] - pub["accuracy"]
@@ -363,9 +391,7 @@ def run_parity(
         elif shrink_geometry:
             cfg = _shrink_overrides(cfg)
         backbone = _load_export(export, cfg)
-        mt_ds = None if smoke else load_dataset(
-            "octmnist", root=data_root, allow_synthetic=False
-        )
+        mt_ds = None if smoke else _load_real("octmnist")
         mt = run_multitrial(
             cfg, dataset=mt_ds, backbone_params=backbone, logger=logger,
             epochs=ft_epochs if ft_epochs is not None else (1 if smoke else None),
@@ -426,9 +452,12 @@ def _write_report(report: dict, out_dir: str) -> None:
         ]
     if "ssp" in report:
         s = report["ssp"]
+        # final_loss can be None (resumed past the final epoch from a
+        # pre-provenance checkpoint whose metadata lacked the loss)
+        fl = "n/a" if s["final_loss"] is None else f"{s['final_loss']:.4f}"
         lines += [
             f"SSP: {s['epochs_run']} epochs, final loss "
-            f"{s['final_loss']:.4f}, pred_std {s['pred_std']:.4f}, "
+            f"{fl}, pred_std {s['pred_std']:.4f}, "
             f"init {s['init_provenance']}"
             + (" **COLLAPSE FLAG** (features near-constant; downstream "
                "numbers not parity evidence)" if s["collapse_flag"] else ""),

@@ -212,6 +212,12 @@ def _trial_state_key(cfg: FineTuneConfig, epochs) -> dict:
     # reference's estimator); invalidates v1 state files, whose trials
     # re-drew the subsets/folds instead
     key["estimator"] = 2
+    # fold algorithm v2: the stratified deal continues across classes
+    # (evals/kfold.py, commit 23cb8ca) — a different partition than v1's
+    # per-class-restarting deal. Invalidates in-flight pre-fix states so a
+    # resumed aggregate never mixes trials over two different partitions
+    # ("trials hold data fixed" would silently break otherwise).
+    key["fold_algorithm"] = 2
     # normalize through JSON (tuples -> lists) so the in-memory key compares
     # equal to one read back from the state file
     return json.loads(json.dumps(key))

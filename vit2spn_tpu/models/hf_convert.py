@@ -50,8 +50,43 @@ import numpy as np
 from vit2spn_tpu.core.config import ViTConfig
 
 
+def _expected_shapes(cfg: ViTConfig) -> dict:
+    """Leaf shapes of init_vit(cfg) (models/vit.py:45-86), analytically."""
+    d, m, L = cfg.hidden_size, cfg.mlp_dim, cfg.num_layers
+    pin = cfg.patch_size * cfg.patch_size * cfg.num_channels
+    return {
+        "patch_embed/kernel": (pin, d),
+        "patch_embed/bias": (d,),
+        "cls_token": (1, 1, d),
+        "pos_embed": (1, cfg.seq_len, d),
+        "final_ln/scale": (d,),
+        "final_ln/bias": (d,),
+        "blocks/ln1_scale": (L, d),
+        "blocks/ln1_bias": (L, d),
+        "blocks/wqkv": (L, d, 3 * d),
+        "blocks/bqkv": (L, 3 * d),
+        "blocks/wo": (L, d, d),
+        "blocks/bo": (L, d),
+        "blocks/ln2_scale": (L, d),
+        "blocks/ln2_bias": (L, d),
+        "blocks/w1": (L, d, m),
+        "blocks/b1": (L, m),
+        "blocks/w2": (L, m, d),
+        "blocks/b2": (L, d),
+        "pooler/w": (d, d),
+        "pooler/b": (d,),
+    }
+
+
 def convert_hf_state_dict(state: dict, cfg: ViTConfig) -> dict:
-    """`state`: HF ViTModel state_dict mapping names -> numpy arrays."""
+    """`state`: HF ViTModel state_dict mapping names -> numpy arrays.
+
+    Raises ValueError when the file's geometry does not match `cfg` — the
+    patch-embed reshape and most per-leaf copies would otherwise SUCCEED
+    silently at a wrong hidden size and crash (or worse, mis-train) deep
+    inside the model; callers treat the raise as "weights unavailable at
+    this geometry" (evals/parity.py::check_inputs, SSPTrainer's
+    _try_pretrained_backbone fallback)."""
 
     def get(name):
         return np.asarray(state[name])
@@ -111,6 +146,19 @@ def convert_hf_state_dict(state: dict, cfg: ViTConfig) -> dict:
             "w": np.zeros((d, d), np.float32),
             "b": np.zeros((d,), np.float32),
         }
+    for key, want in _expected_shapes(cfg).items():
+        node = params
+        for part in key.split("/"):
+            node = node[part]
+        got = tuple(np.shape(node))
+        if got != want:
+            raise ValueError(
+                f"weight file does not match the requested ViT geometry: "
+                f"{key} has shape {got} but config (hidden={cfg.hidden_size},"
+                f" layers={cfg.num_layers}, mlp={cfg.mlp_dim}, "
+                f"patch={cfg.patch_size}, image={cfg.image_size}) "
+                f"needs {want}"
+            )
     return {k: _to_f32(v) for k, v in params.items()}
 
 

@@ -149,6 +149,10 @@ class SSPTrainer:
             )
         else:
             self.init_provenance = "random"
+        # fit() updates these on checkpoint resume (the restored state
+        # replaces the fresh init, so its recorded lineage wins)
+        self.fit_resume_epoch = 0
+        self.fit_resume_loss: Optional[float] = None
         params = init_dual_stream(key, cfg, backbone_params)
         opt_state = self.tx.init((params.online, params.heads))
         state = SSPTrainState(params, opt_state, jnp.zeros((), jnp.int32))
@@ -512,15 +516,28 @@ class SSPTrainer:
         n_trained = spe * eff + (rem if use_tail else 0)
 
         start_epoch = 0
+        self.fit_resume_loss = None
         if checkpoint_path and ckpt.exists(checkpoint_path):
             meta = ckpt.metadata(checkpoint_path)
             self.state = jax.device_put(
                 ckpt.restore(checkpoint_path, self.state), self._state_sharding
             )
             start_epoch = int(meta.get("epoch", 0))
+            # the restored state REPLACES whatever init this trainer was
+            # constructed with, so the checkpoint's recorded lineage wins —
+            # the parity runbook gates its verdict on init_provenance, and a
+            # random-lineage checkpoint must not ride a later pretrained
+            # construction to a PASS. Pre-field checkpoints can't prove
+            # theirs: "resume_unverified" (never judged as pretrained).
+            self.init_provenance = str(
+                meta.get("init_provenance", "resume_unverified")
+            )
+            if meta.get("loss") is not None:
+                self.fit_resume_loss = float(meta["loss"])
             self.logger.log(
                 "resume", epoch=start_epoch, loss=meta.get("loss", float("nan"))
             )
+        self.fit_resume_epoch = start_epoch
 
         from vit2spn_tpu.data import native
 
@@ -587,7 +604,8 @@ class SSPTrainer:
                 ckpt.save(
                     checkpoint_path,
                     jax.device_get(self.state),
-                    {"epoch": epoch + 1, "loss": avg},
+                    {"epoch": epoch + 1, "loss": avg,
+                     "init_provenance": self.init_provenance},
                 )
                 self.logger.log("checkpoint", epoch=epoch + 1, path=checkpoint_path)
         return history
