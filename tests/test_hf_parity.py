@@ -99,6 +99,13 @@ def test_convert_rejects_wrong_geometry(hf_pair):
         convert_hf_state_dict(
             state, dataclasses.replace(cfg, num_layers=4)
         )
+    # FEWER requested layers than the file has must raise too — the loop
+    # reads only the first L layers and every shape check then passes, so
+    # without the explicit depth check a deeper file truncates silently
+    with pytest.raises(ValueError, match="geometry"):
+        convert_hf_state_dict(
+            state, dataclasses.replace(cfg, num_layers=1)
+        )
 
 
 def test_local_weight_file_loading(hf_pair, tmp_path, monkeypatch):

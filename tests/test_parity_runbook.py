@@ -287,6 +287,80 @@ def test_parity_resume_gates_checkpoint_lineage(tmp_path, monkeypatch):
     assert "INPUTS-INCOMPLETE" in md
 
 
+def test_parity_resume_keeps_pretrained_lineage(tmp_path, monkeypatch):
+    """The converse gate direction: a GENUINE pretrained-lineage checkpoint
+    resumed after the weight file disappeared still gets a PASS/FAIL-class
+    verdict — the run consumed the published init; the gate reflects what
+    actually happened, in both directions."""
+    import dataclasses
+
+    import jax
+
+    from vit2spn_tpu.core.presets import get_preset
+    from vit2spn_tpu.evals.parity import _shrink_overrides
+    from vit2spn_tpu.train import checkpoint as ckpt
+    from vit2spn_tpu.train.ssp import SSPTrainer
+
+    monkeypatch.delenv("VIT2SPN_VIT_TINY_PATH", raising=False)
+    root = str(tmp_path / "data")
+    _write_octmnist(root)
+    _write_folder(root, "octird", ["amd", "csr", "dr", "mh", "normal"], 10)
+    _write_folder(root, "ucsdoct", ["CNV", "DME", "DRUSEN", "NORMAL"], 12)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    ssp_cfg = get_preset("ssp")
+    ssp_cfg = dataclasses.replace(
+        ssp_cfg,
+        data=dataclasses.replace(ssp_cfg.data, root=root),
+        pretrained_init=False,
+    )
+    ssp_cfg = _shrink_overrides(ssp_cfg)
+    seed_tr = SSPTrainer(ssp_cfg, logger=_logger())
+    ckpt.save(
+        os.path.join(out, "ssp_checkpoint.npz"),
+        jax.device_get(seed_tr.state),
+        {"epoch": 1, "loss": -0.5, "init_provenance": "pretrained"},
+    )
+
+    report = run_parity(
+        data_root=root, out_dir=out, logger=_logger(),
+        shrink_geometry=True, epochs=1, ft_epochs=1, skip_multitrial=True,
+    )
+    assert report["ssp"]["init_provenance"] == "pretrained"
+    assert report["inputs"]["vit_tiny_weights"] is True  # upgraded post-fit
+    assert report["status"].startswith(("PASS", "FAIL"))
+    assert "init_deviation" not in report
+
+
+def test_parity_degrades_when_probe_passes_but_load_fails(tmp_path,
+                                                          monkeypatch):
+    """The structural probe decodes only a sample; a corrupt image deeper in
+    a folder dataset must degrade the verdict to INPUTS-INCOMPLETE (with the
+    error recorded and the report still written) — not crash away the
+    completed stages."""
+    monkeypatch.delenv("VIT2SPN_VIT_TINY_PATH", raising=False)
+    root = str(tmp_path / "data")
+    _write_octmnist(root)
+    _write_folder(root, "octird", ["amd", "csr", "dr", "mh", "normal"], 10)
+    _write_folder(root, "ucsdoct", ["CNV", "DME", "DRUSEN", "NORMAL"], 12)
+    # corrupt JPEG that sorts LAST so the probe's first-image decode passes
+    with open(os.path.join(root, "ucsdoct", "NORMAL", "zzz.jpg"), "wb") as f:
+        f.write(b"not a jpeg at all")
+
+    report = run_parity(
+        data_root=root, out_dir=str(tmp_path / "out"), logger=_logger(),
+        shrink_geometry=True, epochs=1, ft_epochs=1, skip_multitrial=True,
+    )
+    s = report["status"]
+    assert s.startswith("INPUTS-INCOMPLETE") and "ucsdoct" in s
+    assert "ucsdoct" in report.get("load_errors", {})
+    # the healthy datasets were still measured, the broken one skipped
+    assert "octmnist" in report["datasets"] and "octid" in report["datasets"]
+    assert "ucsdoct" not in report["datasets"]
+    assert os.path.exists(str(tmp_path / "out" / "parity_report.md"))
+
+
 def test_probe_dataset_structural(tmp_path):
     """check_inputs' availability probe must not pay the full decode, but
     still reject missing/corrupt/empty inputs."""

@@ -99,27 +99,46 @@ def load_dataset(name: str, root: str = "./datasets", **kw) -> Dataset:
     return _REGISTRY[name](root=root, **kw)
 
 
+# shared by the loaders and probe_dataset — the parity runbook's provenance
+# gate depends on probe and loader agreeing on what counts as available, so
+# these constants must have exactly one definition
+_IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+_OCTID_SUBS = ("octird", "octid")  # reference spells it "octird"
+
+
+def _octmnist_candidates(root: str) -> tuple:
+    return (
+        os.path.join(root, "octmnist.npz"),
+        os.path.expanduser("~/.medmnist/octmnist.npz"),
+    )
+
+
 def probe_dataset(name: str, root: str = "./datasets") -> bool:
     """Cheap availability probe: is REAL on-disk data present and plausibly
     decodable? load_dataset decodes every image — on the real UCSD folder
     that is minutes of host time — so callers that only need a boolean
-    (e.g. the parity runbook's provenance block) use this instead:
-    structural checks plus ONE sample decode. A file that passes the probe
-    but is corrupt mid-way still fails later at the strict load, loudly."""
+    (e.g. the parity runbook's provenance block) use this instead: structural
+    checks plus a small sample decode (folders: the first image; npz: the
+    label members). A file that passes the probe but is corrupt mid-way
+    fails later at the strict load — the parity runbook degrades that to
+    INPUTS-INCOMPLETE rather than trusting the probe (evals/parity.py)."""
     if name == "octmnist":
-        for candidate in (
-            os.path.join(root, "octmnist.npz"),
-            os.path.expanduser("~/.medmnist/octmnist.npz"),
-        ):
+        for candidate in _octmnist_candidates(root):
             if os.path.exists(candidate):
                 try:
-                    # NpzFile members stay compressed until accessed; the
-                    # key check costs only the zip directory read
+                    # NpzFile members stay compressed until accessed; check
+                    # keys from the zip directory, then decode the (tiny)
+                    # label members as the sample
                     with np.load(candidate) as raw:
-                        return all(
+                        if not all(
                             f"{s}_{k}" in raw.files
                             for s in ("train", "val", "test")
                             for k in ("images", "labels")
+                        ):
+                            return False
+                        return all(
+                            raw[f"{s}_labels"].size > 0
+                            for s in ("train", "val", "test")
                         )
                 except Exception:  # noqa: BLE001 — corrupt == unavailable
                     return False
@@ -127,8 +146,8 @@ def probe_dataset(name: str, root: str = "./datasets") -> bool:
     if name in ("octid", "ucsdoct"):
         from PIL import Image
 
-        subs = ("octird", "octid") if name == "octid" else ("ucsdoct",)
-        exts = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+        subs = _OCTID_SUBS if name == "octid" else ("ucsdoct",)
+        exts = _IMAGE_EXTS
         for sub in subs:
             d = os.path.join(root, sub)
             if not os.path.isdir(d):
@@ -163,10 +182,7 @@ OCTMNIST_CLASSES = ["choroidal neovascularization", "diabetic macular edema",
 def load_octmnist(root: str = "./datasets", allow_synthetic: bool = True, **_) -> Dataset:
     """medmnist-format octmnist.npz: keys {train,val,test}_{images,labels};
     images uint8 (N, 28, 28), labels (N, 1)."""
-    for candidate in (
-        os.path.join(root, "octmnist.npz"),
-        os.path.expanduser("~/.medmnist/octmnist.npz"),
-    ):
+    for candidate in _octmnist_candidates(root):
         if os.path.exists(candidate):
             raw = np.load(candidate)
             parts, splits, offset = [], {}, 0
@@ -218,7 +234,7 @@ def _load_folder(root_dir: str, name: str, source_size: "int | tuple",
         if os.path.isdir(os.path.join(root_dir, d))
     )
     images, labels, raw_sizes, raw_kb = [], [], [], []
-    exts = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+    exts = _IMAGE_EXTS
     for ci, cls in enumerate(classes):
         cdir = os.path.join(root_dir, cls)
         for fname in sorted(os.listdir(cdir)):
@@ -251,7 +267,7 @@ UCSD_CLASSES = ["CNV", "DME", "DRUSEN", "NORMAL"]
 def load_octid(root: str = "./datasets", source_size: int = 256,
                allow_synthetic: bool = True, **_) -> Dataset:
     # reference spells the directory "octird" (octird_ft_vit2spn.py:46)
-    for sub in ("octird", "octid"):
+    for sub in _OCTID_SUBS:
         d = os.path.join(root, sub)
         if os.path.isdir(d):
             return _load_folder(d, "octid", source_size)

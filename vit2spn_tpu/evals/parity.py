@@ -267,10 +267,22 @@ def run_parity(
     loaded: dict = {}
 
     def _load_real(name: str):
-        if name not in loaded:
+        """Full strict decode, or None with the input marked unavailable.
+        The structural probe can pass on a file the strict load rejects
+        (one corrupt JPEG mid-folder, corrupt npz image members) — that
+        must degrade the verdict to INPUTS-INCOMPLETE, never crash away
+        hours of completed stages without a report."""
+        if name in loaded:
+            return loaded[name]
+        try:
             loaded[name] = load_dataset(
                 name, root=data_root, allow_synthetic=False
             )
+        except Exception as e:  # noqa: BLE001 — any load failure gates
+            inputs[name] = False
+            report.setdefault("load_errors", {})[name] = repr(e)
+            logger.log("parity_load_failed", dataset=name, error=repr(e))
+            return None
         return loaded[name]
 
     # ---- stage 1: SSP pretrain (ssp_vit2spn_tiny.py, 100 epochs) ----------
@@ -280,6 +292,11 @@ def run_parity(
         ds = load_dataset(ssp_cfg.data.name, root=ssp_cfg.data.root)
     else:
         ds = _load_real(ssp_cfg.data.name)
+        if ds is None:  # probe passed, strict load didn't: nothing can run
+            report["status"] = compute_status(report)
+            _write_report(report, out_dir)
+            logger.log("parity_done", status=report["status"])
+            return report
     train = ds.split("train") if "train" in ds.splits else ds
     ssp_epochs = epochs if epochs is not None else (2 if smoke else None)
     history = trainer.fit(
@@ -288,15 +305,16 @@ def run_parity(
         checkpoint_path=os.path.join(out_dir, "ssp_checkpoint.npz"),
     )
     if not smoke:
-        # gate on what ACTUALLY happened, checked AFTER fit: the
-        # construction-time ingest falls back to random silently (corrupt /
-        # replaced weight file), and resuming ssp_checkpoint.npz REPLACES
-        # the fresh init with the checkpoint's own lineage (fit adopts the
-        # provenance recorded in the checkpoint metadata) — a random-lineage
-        # checkpoint must not ride a later pretrained construction to a
-        # PASS/FAIL verdict.
-        if inputs["vit_tiny_weights"] and trainer.init_provenance != "pretrained":
-            inputs["vit_tiny_weights"] = False
+        # gate on what ACTUALLY happened, checked AFTER fit, in BOTH
+        # directions: the construction-time ingest falls back to random
+        # silently (corrupt / replaced weight file) and resuming
+        # ssp_checkpoint.npz REPLACES the fresh init with the checkpoint's
+        # own lineage (fit adopts the provenance recorded in its metadata).
+        # So a random-lineage checkpoint must not ride a later pretrained
+        # construction to a PASS/FAIL verdict — and conversely a genuine
+        # pretrained-lineage checkpoint keeps its verdict even if the weight
+        # file has since been removed (the run consumed the published init).
+        inputs["vit_tiny_weights"] = trainer.init_provenance == "pretrained"
         if not inputs["vit_tiny_weights"]:
             report["init_deviation"] = "random"
         # the effective post-gate record — the upfront `parity_inputs` probe
@@ -348,15 +366,22 @@ def run_parity(
         backbone = _load_export(export, cfg)
         # non-smoke passes the real-loaded dataset explicitly so the
         # protocol can never fall back to the synthetic stand-in
-        ft_ds = None if smoke else _load_real(name)
+        if not smoke:
+            ft_ds = _load_real(name)
+            if ft_ds is None:  # strict load failed: skip, verdict degrades
+                continue
+        else:
+            ft_ds = None
         res = run_cv_protocol(
             cfg, dataset=ft_ds, backbone_params=backbone, logger=logger,
             epochs=ft_epochs if ft_epochs is not None else (1 if smoke else None),
         )
         if name != "octmnist":
             # folder datasets are done after their protocol (UCSD is ~GBs of
-            # host RAM); octmnist stays for the multitrial stage
+            # host RAM); octmnist stays for the multitrial stage. ft_ds also
+            # binds it — drop BOTH references or the pop frees nothing
             loaded.pop(name, None)
+            ft_ds = None
         pub = PUBLISHED[name]
         d_mauc = res.mean_auc - pub["mauc"]
         d_acc = res.test_summary["accuracy"] - pub["accuracy"]
@@ -443,6 +468,13 @@ def _write_report(report: dict, out_dir: str) -> None:
         ),
         "",
     ]
+    if report.get("load_errors"):
+        lines += [
+            "Load failures (probe passed, strict load did not): "
+            + ", ".join(f"`{k}`: {v}"
+                        for k, v in report["load_errors"].items()),
+            "",
+        ]
     if report.get("init_deviation"):
         lines += [
             "Init deviation: **random** — the published chain initializes "

@@ -146,6 +146,15 @@ def convert_hf_state_dict(state: dict, cfg: ViTConfig) -> dict:
             "w": np.zeros((d, d), np.float32),
             "b": np.zeros((d,), np.float32),
         }
+    # a DEEPER file than cfg.num_layers would otherwise truncate silently
+    # (the loop above reads only the first L layers and every shape check
+    # then passes) — the same mis-ingest class as a width mismatch
+    deeper = f"encoder.layer.{cfg.num_layers}."
+    if any(k.startswith(deeper) for k in state):
+        raise ValueError(
+            f"weight file does not match the requested ViT geometry: it has "
+            f"more encoder layers than config num_layers={cfg.num_layers}"
+        )
     for key, want in _expected_shapes(cfg).items():
         node = params
         for part in key.split("/"):
