@@ -265,7 +265,8 @@ def test_parity_resume_gates_checkpoint_lineage(tmp_path, monkeypatch):
     ckpt.save(
         os.path.join(out, "ssp_checkpoint.npz"),
         jax.device_get(seed_tr.state),
-        {"epoch": 1, "loss": -0.25, "init_provenance": "random"},
+        {"epoch": 1, "loss": -0.25, "init_provenance": "random",
+         "dataset_name": "octmnist"},
     )
 
     report = run_parity(
@@ -320,7 +321,8 @@ def test_parity_resume_keeps_pretrained_lineage(tmp_path, monkeypatch):
     ckpt.save(
         os.path.join(out, "ssp_checkpoint.npz"),
         jax.device_get(seed_tr.state),
-        {"epoch": 1, "loss": -0.5, "init_provenance": "pretrained"},
+        {"epoch": 1, "loss": -0.5, "init_provenance": "pretrained",
+         "dataset_name": "octmnist"},
     )
 
     report = run_parity(
@@ -359,6 +361,75 @@ def test_parity_degrades_when_probe_passes_but_load_fails(tmp_path,
     assert "octmnist" in report["datasets"] and "octid" in report["datasets"]
     assert "ucsdoct" not in report["datasets"]
     assert os.path.exists(str(tmp_path / "out" / "parity_report.md"))
+
+
+def test_parity_refuses_foreign_checkpoint(tmp_path, monkeypatch):
+    """A checkpoint from a DIFFERENT run in the same --out must be refused
+    with a written report — resuming it would either crash deep in restore
+    (wrong geometry) or silently count foreign epochs into the verdict
+    (same geometry, different data — e.g. a --smoke run's synthetic-trained
+    state)."""
+    import dataclasses
+
+    import jax
+
+    from vit2spn_tpu.core.config import ViTConfig
+    from vit2spn_tpu.core.presets import get_preset
+    from vit2spn_tpu.evals.parity import _shrink_overrides
+    from vit2spn_tpu.train import checkpoint as ckpt
+    from vit2spn_tpu.train.ssp import SSPTrainer
+
+    monkeypatch.delenv("VIT2SPN_VIT_TINY_PATH", raising=False)
+    root = str(tmp_path / "data")
+    _write_octmnist(root)
+
+    def _seed(out, state, meta):
+        os.makedirs(out, exist_ok=True)
+        ckpt.save(os.path.join(out, "ssp_checkpoint.npz"),
+                  jax.device_get(state), meta)
+
+    ssp_cfg = get_preset("ssp")
+    ssp_cfg = dataclasses.replace(
+        ssp_cfg,
+        data=dataclasses.replace(ssp_cfg.data, root=root),
+        pretrained_init=False,
+    )
+    shrunk = _shrink_overrides(ssp_cfg)
+
+    # (a) same geometry, synthetic-trained (a --smoke run's leftover)
+    out_a = str(tmp_path / "out_a")
+    _seed(out_a, SSPTrainer(shrunk, logger=_logger()).state,
+          {"epoch": 1, "loss": -0.5, "init_provenance": "pretrained",
+           "dataset_name": "synthetic"})
+    rep = run_parity(data_root=root, out_dir=out_a, logger=_logger(),
+                     shrink_geometry=True, epochs=1, ft_epochs=1,
+                     skip_multitrial=True)
+    assert rep["status"].startswith("ERROR") and "synthetic" in rep["status"]
+    assert "ssp" not in rep  # nothing ran
+    assert os.path.exists(os.path.join(out_a, "parity_report.md"))
+
+    # (b) right data, wrong geometry (e.g. a full-geometry run's leftover)
+    other = dataclasses.replace(
+        shrunk, vit=ViTConfig(image_size=32, patch_size=16, hidden_size=16,
+                              num_layers=2, num_heads=2, mlp_dim=32),
+    )
+    out_b = str(tmp_path / "out_b")
+    _seed(out_b, SSPTrainer(other, logger=_logger()).state,
+          {"epoch": 1, "loss": -0.5, "init_provenance": "pretrained",
+           "dataset_name": "octmnist"})
+    rep = run_parity(data_root=root, out_dir=out_b, logger=_logger(),
+                     shrink_geometry=True, epochs=1, ft_epochs=1,
+                     skip_multitrial=True)
+    assert rep["status"].startswith("ERROR") and "incompatible" in rep["status"]
+
+    # (c) pre-lineage-field checkpoint: lineage unknowable -> refused too
+    out_c = str(tmp_path / "out_c")
+    _seed(out_c, SSPTrainer(shrunk, logger=_logger()).state,
+          {"epoch": 1, "loss": -0.5})
+    rep = run_parity(data_root=root, out_dir=out_c, logger=_logger(),
+                     shrink_geometry=True, epochs=1, ft_epochs=1,
+                     skip_multitrial=True)
+    assert rep["status"].startswith("ERROR")
 
 
 def test_probe_dataset_structural(tmp_path):

@@ -81,6 +81,26 @@ def test_ssp_resume_adopts_checkpoint_provenance(tiny_ssp, tmp_path):
     assert tr3.init_provenance == "resume_unverified"
 
 
+def test_checkpoint_compatible_mirrors_strict_restore(tiny_ssp, tmp_path):
+    """compatible() returns None exactly when a strict restore would
+    succeed, and a reason string otherwise — without touching device
+    values (the parity runbook pre-checks foreign checkpoints with it)."""
+    tr = SSPTrainer(tiny_ssp, logger=QUIET)
+    path = str(tmp_path / "ckpt.npz")
+    ckpt.save(path, jax.device_get(tr.state), {"epoch": 0})
+    assert ckpt.compatible(path, tr.state) is None
+
+    other_cfg = dataclasses.replace(
+        tiny_ssp,
+        vit=dataclasses.replace(tiny_ssp.vit, hidden_size=16, num_heads=2),
+    )
+    other = SSPTrainer(other_cfg, logger=QUIET)
+    reason = ckpt.compatible(path, other.state)
+    assert reason is not None and "incompatible" in reason
+    with pytest.raises(Exception):
+        ckpt.restore(path, other.state)  # what compatible() predicts
+
+
 def test_export_restore_roundtrip(tiny_ssp, tmp_path):
     ds = synthetic_dataset(image_size=28, split_sizes={"train": 32})
     tr = SSPTrainer(tiny_ssp, logger=QUIET)

@@ -113,6 +113,28 @@ def _octmnist_candidates(root: str) -> tuple:
     )
 
 
+def _folder_classes(root_dir: str, class_names=None) -> list:
+    """ImageFolder class discovery: sorted subdirectories."""
+    return list(class_names) if class_names else sorted(
+        d for d in os.listdir(root_dir)
+        if os.path.isdir(os.path.join(root_dir, d))
+    )
+
+
+def _iter_folder_images(root_dir: str, classes):
+    """Yield (class_index, class_name, image_path) in the exact order
+    _load_folder decodes — the single definition of the folder walk, shared
+    with probe_dataset so probe and loader cannot disagree on which files a
+    folder dataset consists of."""
+    for ci, cls in enumerate(classes):
+        cdir = os.path.join(root_dir, cls)
+        if not os.path.isdir(cdir):
+            continue
+        for fname in sorted(os.listdir(cdir)):
+            if os.path.splitext(fname)[1].lower() in _IMAGE_EXTS:
+                yield ci, cls, os.path.join(cdir, fname)
+
+
 def probe_dataset(name: str, root: str = "./datasets") -> bool:
     """Cheap availability probe: is REAL on-disk data present and plausibly
     decodable? load_dataset decodes every image — on the real UCSD folder
@@ -147,25 +169,20 @@ def probe_dataset(name: str, root: str = "./datasets") -> bool:
         from PIL import Image
 
         subs = _OCTID_SUBS if name == "octid" else ("ucsdoct",)
-        exts = _IMAGE_EXTS
         for sub in subs:
             d = os.path.join(root, sub)
             if not os.path.isdir(d):
                 continue
-            for cls in sorted(os.listdir(d)):
-                cdir = os.path.join(d, cls)
-                if not os.path.isdir(cdir):
-                    continue
-                for fname in sorted(os.listdir(cdir)):
-                    if os.path.splitext(fname)[1].lower() not in exts:
-                        continue
-                    try:
-                        with Image.open(os.path.join(cdir, fname)) as im:
-                            im.convert("L")
-                        return True
-                    except Exception:  # noqa: BLE001
-                        return False
-            return False  # folder exists but holds no class images
+            # the loader's own walk order: probe its FIRST image
+            first = next(_iter_folder_images(d, _folder_classes(d)), None)
+            if first is None:
+                return False  # folder exists but holds no class images
+            try:
+                with Image.open(first[2]) as im:
+                    im.convert("L")
+                return True
+            except Exception:  # noqa: BLE001
+                return False
         return False
     raise KeyError(f"no availability probe for dataset {name!r}")
 
@@ -229,25 +246,16 @@ def _load_folder(root_dir: str, name: str, source_size: "int | tuple",
 
     sh, sw = ((source_size, source_size) if isinstance(source_size, int)
               else tuple(source_size))
-    classes = class_names or sorted(
-        d for d in os.listdir(root_dir)
-        if os.path.isdir(os.path.join(root_dir, d))
-    )
+    classes = _folder_classes(root_dir, class_names)
     images, labels, raw_sizes, raw_kb = [], [], [], []
-    exts = _IMAGE_EXTS
-    for ci, cls in enumerate(classes):
-        cdir = os.path.join(root_dir, cls)
-        for fname in sorted(os.listdir(cdir)):
-            if os.path.splitext(fname)[1].lower() not in exts:
-                continue
-            fpath = os.path.join(cdir, fname)
-            with Image.open(fpath) as im:
-                raw_sizes.append(im.size)  # (width, height) pre-resize
-                # PIL's resize takes (width, height)
-                im = im.convert("L").resize((sw, sh), Image.BILINEAR)
-                images.append(np.asarray(im, dtype=np.uint8)[..., None])
-            raw_kb.append(os.path.getsize(fpath) / 1024.0)
-            labels.append(ci)
+    for ci, _cls, fpath in _iter_folder_images(root_dir, classes):
+        with Image.open(fpath) as im:
+            raw_sizes.append(im.size)  # (width, height) pre-resize
+            # PIL's resize takes (width, height)
+            im = im.convert("L").resize((sw, sh), Image.BILINEAR)
+            images.append(np.asarray(im, dtype=np.uint8)[..., None])
+        raw_kb.append(os.path.getsize(fpath) / 1024.0)
+        labels.append(ci)
     return Dataset(
         name=name,
         images=np.stack(images),

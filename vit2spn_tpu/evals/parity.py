@@ -219,6 +219,7 @@ def run_parity(
     from vit2spn_tpu.core.presets import get_preset
     from vit2spn_tpu.data.datasets import load_dataset
     from vit2spn_tpu.evals.protocol import run_cv_protocol, run_multitrial
+    from vit2spn_tpu.train import checkpoint as ckpt
     from vit2spn_tpu.train.ssp import SSPTrainer
     from vit2spn_tpu.utils.logging import MetricLogger
 
@@ -299,10 +300,35 @@ def run_parity(
             return report
     train = ds.split("train") if "train" in ds.splits else ds
     ssp_epochs = epochs if epochs is not None else (2 if smoke else None)
+    ckpt_path = os.path.join(out_dir, "ssp_checkpoint.npz")
+    if ckpt.exists(ckpt_path):
+        # a checkpoint from a DIFFERENT run in the same --out must be
+        # refused with a report, not resumed (wrong geometry crashes deep in
+        # restore; same-geometry-different-data — e.g. a --smoke run's
+        # synthetic-trained state — would silently count foreign epochs
+        # into the verdict). fit() records dataset_name in the metadata.
+        meta = ckpt.metadata(ckpt_path)
+        reason = None
+        if meta.get("dataset_name") != ds.name:
+            reason = (
+                f"it was trained on dataset "
+                f"{meta.get('dataset_name')!r}, this run uses {ds.name!r}"
+            )
+        else:
+            reason = ckpt.compatible(ckpt_path, trainer.state)
+        if reason is not None:
+            report["status"] = (
+                f"ERROR: --out holds an incompatible ssp_checkpoint.npz "
+                f"({reason}) — it belongs to a different run (geometry / "
+                "--smoke / data root); remove it or use a fresh --out"
+            )
+            _write_report(report, out_dir)
+            logger.log("parity_done", status=report["status"])
+            return report
     history = trainer.fit(
         train,
         epochs=ssp_epochs,
-        checkpoint_path=os.path.join(out_dir, "ssp_checkpoint.npz"),
+        checkpoint_path=ckpt_path,
     )
     if not smoke:
         # gate on what ACTUALLY happened, checked AFTER fit, in BOTH
@@ -316,7 +342,13 @@ def run_parity(
         # file has since been removed (the run consumed the published init).
         inputs["vit_tiny_weights"] = trainer.init_provenance == "pretrained"
         if not inputs["vit_tiny_weights"]:
-            report["init_deviation"] = "random"
+            # "unverified" (a resumed checkpoint that predates lineage
+            # recording) is not a claim of random init — say what we know
+            report["init_deviation"] = (
+                "unverified"
+                if trainer.init_provenance == "resume_unverified"
+                else "random"
+            )
         # the effective post-gate record — the upfront `parity_inputs` probe
         # line can legitimately disagree with this one
         logger.log("parity_inputs_effective", **inputs)
@@ -416,7 +448,15 @@ def run_parity(
         elif shrink_geometry:
             cfg = _shrink_overrides(cfg)
         backbone = _load_export(export, cfg)
+        # octmnist is memo-cached from stage 1 today, but never hand a None
+        # downstream: run_cv_protocol's dataset=None fallback load allows
+        # synthetic — the invariant is that a non-smoke parity run can never
+        # touch the stand-in
         mt_ds = None if smoke else _load_real("octmnist")
+        if not smoke and mt_ds is None:
+            raise AssertionError(
+                "octmnist vanished between stage 1 and multitrial"
+            )
         mt = run_multitrial(
             cfg, dataset=mt_ds, backbone_params=backbone, logger=logger,
             epochs=ft_epochs if ft_epochs is not None else (1 if smoke else None),
@@ -477,9 +517,10 @@ def _write_report(report: dict, out_dir: str) -> None:
         ]
     if report.get("init_deviation"):
         lines += [
-            "Init deviation: **random** — the published chain initializes "
-            "from ImageNet ViT-Tiny (ssp_vit2spn_tiny.py:112); these numbers "
-            "are not comparable to the published table.",
+            f"Init deviation: **{report['init_deviation']}** — the published "
+            "chain initializes from ImageNet ViT-Tiny "
+            "(ssp_vit2spn_tiny.py:112); these numbers are not comparable to "
+            "the published table.",
             "",
         ]
     if "ssp" in report:

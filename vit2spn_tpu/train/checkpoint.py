@@ -25,14 +25,17 @@ import jax
 import numpy as np
 
 
+def _path_key(path_elems) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+        for p in path_elems
+    )
+
+
 def _flatten(tree) -> dict:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
-            for p in path
-        )
-        flat[key] = np.asarray(leaf)
+        flat[_path_key(path)] = np.asarray(leaf)
     return flat
 
 
@@ -62,6 +65,34 @@ def metadata(path: str) -> dict:
     return {}
 
 
+def compatible(path: str, like) -> Optional[str]:
+    """None when `restore(path, like, strict=True)` would succeed (same leaf
+    keys, same element counts — restore reshapes, so shape is checked by
+    SIZE exactly like restore does); else a human-readable reason. Never
+    raises for a well-formed npz; reads leaf metadata from the host copy
+    without touching `like`'s (possibly device-resident) values."""
+    with np.load(path) as raw:
+        stored = {
+            k: raw[k].shape for k in raw.files if k != "__metadata__"
+        }
+    used = set()
+    for path_elems, leaf in jax.tree_util.tree_flatten_with_path(like)[0]:
+        key = _path_key(path_elems)
+        if key not in stored:
+            return f"checkpoint lacks leaf {key!r}"
+        want = np.shape(leaf)
+        if int(np.prod(stored[key])) != int(np.prod(want)):
+            return (
+                f"leaf {key!r}: stored shape {stored[key]} is incompatible "
+                f"with expected {tuple(want)}"
+            )
+        used.add(key)
+    extra = sorted(set(stored) - used)
+    if extra:
+        return f"checkpoint has extra leaves {extra[:5]}"
+    return None
+
+
 def restore(path: str, like, strict: bool = True):
     """Load leaves into the structure of `like`. strict=False tolerates
     missing/extra keys (torch load_state_dict(strict=False) analogue)."""
@@ -73,10 +104,7 @@ def restore(path: str, like, strict: bool = True):
     missing = []
     used = set()
     for path_elems, leaf in paths_leaves:
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
-            for p in path_elems
-        )
+        key = _path_key(path_elems)
         if key in stored:
             arr = stored[key]
             leaves.append(np.asarray(arr).astype(np.asarray(leaf).dtype).reshape(np.shape(leaf)))
