@@ -84,6 +84,7 @@ def test_folder_dataset(tmp_path):
     assert ds.images.shape == (9, 32, 32, 1)
     assert ds.class_names == ["amd", "csr", "normal"]  # sorted ImageFolder order
     assert set(ds.labels) == {0, 1, 2}
+    assert ds.synthetic is False  # real on-disk data -> real lineage
 
 
 def test_subset_preserves_metadata():
@@ -92,6 +93,17 @@ def test_subset_preserves_metadata():
     assert len(sub) == 5
     assert sub.num_classes == ds.num_classes
     assert sub.class_names == ds.class_names
+
+
+def test_synthetic_flag_lineage():
+    """The synthetic-stand-in flag is the ONLY way to tell a loader's
+    silent fallback apart from real data (the fallback reuses the real
+    dataset's name) — it must survive subset()/split(), and real-format
+    loads must carry False (checkpoint lineage gate, evals/parity.py)."""
+    ds = synthetic_dataset(split_sizes={"train": 30, "val": 10})
+    assert ds.synthetic is True
+    assert ds.split("train").synthetic is True
+    assert ds.subset(np.arange(3)).synthetic is True
 
 
 def test_dataset_summary_contents():

@@ -266,7 +266,7 @@ def test_parity_resume_gates_checkpoint_lineage(tmp_path, monkeypatch):
         os.path.join(out, "ssp_checkpoint.npz"),
         jax.device_get(seed_tr.state),
         {"epoch": 1, "loss": -0.25, "init_provenance": "random",
-         "dataset_name": "octmnist"},
+         "dataset_name": "octmnist/train", "dataset_synthetic": False},
     )
 
     report = run_parity(
@@ -322,7 +322,7 @@ def test_parity_resume_keeps_pretrained_lineage(tmp_path, monkeypatch):
         os.path.join(out, "ssp_checkpoint.npz"),
         jax.device_get(seed_tr.state),
         {"epoch": 1, "loss": -0.5, "init_provenance": "pretrained",
-         "dataset_name": "octmnist"},
+         "dataset_name": "octmnist/train", "dataset_synthetic": False},
     )
 
     report = run_parity(
@@ -396,11 +396,12 @@ def test_parity_refuses_foreign_checkpoint(tmp_path, monkeypatch):
     )
     shrunk = _shrink_overrides(ssp_cfg)
 
-    # (a) same geometry, synthetic-trained (a --smoke run's leftover)
+    # (a) same geometry, synthetic-trained (a --smoke run's leftover; smoke
+    # swaps data.name to "synthetic", so the name itself differs)
     out_a = str(tmp_path / "out_a")
     _seed(out_a, SSPTrainer(shrunk, logger=_logger()).state,
           {"epoch": 1, "loss": -0.5, "init_provenance": "pretrained",
-           "dataset_name": "synthetic"})
+           "dataset_name": "synthetic/train", "dataset_synthetic": True})
     rep = run_parity(data_root=root, out_dir=out_a, logger=_logger(),
                      shrink_geometry=True, epochs=1, ft_epochs=1,
                      skip_multitrial=True)
@@ -430,6 +431,53 @@ def test_parity_refuses_foreign_checkpoint(tmp_path, monkeypatch):
                      shrink_geometry=True, epochs=1, ft_epochs=1,
                      skip_multitrial=True)
     assert rep["status"].startswith("ERROR")
+
+    # (d) the name-collision hole: the loaders' synthetic FALLBACK reuses
+    # the real dataset's name — a `vit2spn run ssp` checkpoint trained on
+    # the "octmnist"-named stand-in (with real ViT-Tiny weights, so
+    # pretrained provenance) must still be refused; only the explicit
+    # dataset_synthetic flag can tell it apart
+    out_d = str(tmp_path / "out_d")
+    _seed(out_d, SSPTrainer(shrunk, logger=_logger()).state,
+          {"epoch": 1, "loss": -0.5, "init_provenance": "pretrained",
+           "dataset_name": "octmnist/train", "dataset_synthetic": True})
+    rep = run_parity(data_root=root, out_dir=out_d, logger=_logger(),
+                     shrink_geometry=True, epochs=1, ft_epochs=1,
+                     skip_multitrial=True)
+    assert rep["status"].startswith("ERROR") and "synthetic" in rep["status"]
+    assert "ssp" not in rep
+
+
+def test_parity_resumes_its_own_checkpoint(tmp_path, monkeypatch):
+    """The lineage gate must ACCEPT the runbook's own checkpoint: an
+    interrupted run re-invoked with the same --out resumes instead of
+    erroring. Regression: the gate once compared the corpus name
+    ("octmnist") against the split name fit() actually records
+    ("octmnist/train") and refused every legitimate resume."""
+    monkeypatch.delenv("VIT2SPN_VIT_TINY_PATH", raising=False)
+    root = str(tmp_path / "data")
+    _write_octmnist(root)
+    _write_folder(root, "octird", ["amd", "csr", "dr", "mh", "normal"], 10)
+    _write_folder(root, "ucsdoct", ["CNV", "DME", "DRUSEN", "NORMAL"], 12)
+    out = str(tmp_path / "out")
+
+    # epochs=10 = one checkpoint cadence (fit saves every 10th epoch,
+    # ssp_vit2spn_tiny.py:198) so the run actually leaves a checkpoint
+    first = run_parity(data_root=root, out_dir=out, logger=_logger(),
+                       shrink_geometry=True, epochs=10, ft_epochs=1,
+                       skip_multitrial=True)
+    assert not first["status"].startswith("ERROR")
+    assert os.path.exists(os.path.join(out, "ssp_checkpoint.npz"))
+
+    # second invocation finds the first run's checkpoint: the gate must
+    # let fit() resume it (here: already at the target epoch, 0 new epochs)
+    second = run_parity(data_root=root, out_dir=out, logger=_logger(),
+                        shrink_geometry=True, epochs=10, ft_epochs=1,
+                        skip_multitrial=True)
+    assert not second["status"].startswith("ERROR")
+    assert second["ssp"]["epochs_run"] == 10
+    assert second["ssp"]["final_loss"] == pytest.approx(
+        first["ssp"]["final_loss"])
 
 
 def test_probe_dataset_structural(tmp_path):

@@ -45,6 +45,12 @@ class Dataset:
     # (octmnist / synthetic), where raw == canonical.
     raw_sizes: Optional[np.ndarray] = None  # int64 (N, 2) = (width, height)
     raw_file_kb: Optional[np.ndarray] = None  # float64 (N,)
+    # True iff this data came from the synthetic stand-in generator. The
+    # loaders' silent fallback REUSES the real dataset's name ("octmnist",
+    # ...), so name alone cannot prove data lineage — SSPTrainer.fit records
+    # this flag in checkpoint metadata and the parity runbook's gate
+    # (evals/parity.py) requires it to match the data the run consumes.
+    synthetic: bool = False
 
     def __len__(self) -> int:
         return len(self.images)
@@ -65,6 +71,7 @@ class Dataset:
             raw_file_kb=(
                 None if self.raw_file_kb is None else self.raw_file_kb[idx]
             ),
+            synthetic=self.synthetic,
         )
 
     def split(self, split_name: str) -> "Dataset":
@@ -357,4 +364,5 @@ def synthetic_dataset(
         num_classes=num_classes,
         class_names=class_names or [f"class_{i}" for i in range(num_classes)],
         splits=splits,
+        synthetic=True,
     )

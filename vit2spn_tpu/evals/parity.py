@@ -306,13 +306,27 @@ def run_parity(
         # refused with a report, not resumed (wrong geometry crashes deep in
         # restore; same-geometry-different-data — e.g. a --smoke run's
         # synthetic-trained state — would silently count foreign epochs
-        # into the verdict). fit() records dataset_name in the metadata.
+        # into the verdict). fit() records the lineage of the dataset it
+        # actually consumed — `train`, whose name carries the "/train"
+        # split suffix — so the gate compares against `train`, not `ds`.
+        # The explicit dataset_synthetic flag is required to MATCH (missing
+        # = unknowable = refused): the synthetic fallback reuses the real
+        # dataset's name, so name equality alone cannot prove data lineage.
         meta = ckpt.metadata(ckpt_path)
+        want_syn = bool(getattr(train, "synthetic", False))
         reason = None
-        if meta.get("dataset_name") != ds.name:
+        if meta.get("dataset_name") != train.name:
             reason = (
                 f"it was trained on dataset "
-                f"{meta.get('dataset_name')!r}, this run uses {ds.name!r}"
+                f"{meta.get('dataset_name')!r}, this run uses {train.name!r}"
+            )
+        elif meta.get("dataset_synthetic") != want_syn:
+            have = meta.get("dataset_synthetic")
+            reason = (
+                "its data lineage is "
+                + ("the synthetic stand-in" if have else "unrecorded")
+                + (", this run uses real data" if not want_syn
+                   else ", this run uses the synthetic stand-in")
             )
         else:
             reason = ckpt.compatible(ckpt_path, trainer.state)

@@ -604,14 +604,18 @@ class SSPTrainer:
                 ckpt.save(
                     checkpoint_path,
                     jax.device_get(self.state),
-                    # init_provenance + dataset_name = the checkpoint's full
-                    # lineage; the parity runbook refuses to resume a
-                    # checkpoint trained on different data (a --smoke run's
-                    # synthetic-trained epochs must not count into a real
-                    # run's verdict, evals/parity.py)
+                    # init_provenance + dataset_name + dataset_synthetic =
+                    # the checkpoint's full lineage; the parity runbook
+                    # refuses to resume a checkpoint trained on different
+                    # data (a --smoke run's synthetic-trained epochs must not
+                    # count into a real run's verdict, evals/parity.py). The
+                    # explicit synthetic flag matters because the loaders'
+                    # silent fallback reuses the real dataset's NAME.
                     {"epoch": epoch + 1, "loss": avg,
                      "init_provenance": self.init_provenance,
-                     "dataset_name": getattr(dataset, "name", None)},
+                     "dataset_name": getattr(dataset, "name", None),
+                     "dataset_synthetic": bool(
+                         getattr(dataset, "synthetic", False))},
                 )
                 self.logger.log("checkpoint", epoch=epoch + 1, path=checkpoint_path)
         return history
