@@ -106,6 +106,32 @@ def test_synthetic_flag_lineage():
     assert ds.subset(np.arange(3)).synthetic is True
 
 
+def test_loader_fallback_carries_synthetic_flag(tmp_path, monkeypatch):
+    """The ACTUAL loader fallback (not just the generator) must produce the
+    name-collision case the lineage gate exists for: the real dataset's
+    name with synthetic=True. If a loader ever reconstructed the Dataset on
+    fallback and dropped the flag to its False default, a stand-in-trained
+    checkpoint would pass the parity runbook's gate as real data."""
+    import vit2spn_tpu.data.datasets as dsmod
+
+    real = dsmod.synthetic_dataset
+
+    def shrunk(*args, **kw):  # don't materialize the ~108k-image stand-in
+        kw["split_sizes"] = {k: max(v // 1000, 4)
+                             for k, v in (kw.get("split_sizes") or {}).items()}
+        return real(*args, **kw)
+
+    monkeypatch.setattr(dsmod, "synthetic_dataset", shrunk)
+    for name in ("octmnist", "octid", "ucsdoct"):
+        ds = load_dataset(name, root=str(tmp_path))  # empty root -> fallback
+        assert ds.name == name
+        assert ds.synthetic is True
+        # and the split fit() actually consumes keeps both
+        split = next(iter(ds.splits))
+        tr = ds.split(split)
+        assert tr.name == f"{name}/{split}" and tr.synthetic is True
+
+
 def test_dataset_summary_contents():
     ds = synthetic_dataset(num_classes=3, split_sizes={"train": 30, "val": 10})
     s = dataset_summary(ds)
